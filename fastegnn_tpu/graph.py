@@ -1,0 +1,234 @@
+"""Static-shape batched geometric graphs (the PyG ``Data``/``Batch`` replacement).
+
+The reference batches graphs by concatenating variable-length node/edge arrays
+(torch_geometric loader, reference ``main_nbody.py:94-97``; consumed at
+``utils/train.py:36-39``).  Dynamic shapes defeat XLA: every batch would
+recompile.  Here a batch is a fixed-shape pytree — nodes and edges padded to
+static capacities with explicit masks, and a ``graph_id`` segment vector for
+per-graph pooling.  Everything downstream (models, losses, shard_map partitions)
+is shape-static and jit-stable.
+
+Conventions
+-----------
+- ``dst``/``src`` correspond to the reference's ``row``/``col`` of
+  ``edge_index`` (``models/FastEGNN.py:204``): the message for edge ``e`` is
+  built from ``(h[dst[e]], h[src[e]], ...)`` with relative coordinate
+  ``coord[dst[e]] - coord[src[e]]`` and is aggregated at ``dst[e]``.
+- Padded nodes have ``graph_id == n_graphs`` (a dump segment) and
+  ``node_mask == False``.
+- Padded edges have ``dst == src == 0`` and ``edge_mask == False``; all
+  scatter/segment ops mask messages before aggregation.
+- Edges are sorted by ``dst`` (CSR order) by the batcher so segment reductions
+  can use ``indices_are_sorted=True`` and Pallas kernels can walk row blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class GraphBatch:
+    """A fixed-capacity batch of geometric graphs.
+
+    Shapes: ``N`` = padded node capacity, ``E`` = padded edge capacity,
+    ``B`` = number of graphs (static), ``C`` = virtual channels.
+    """
+
+    # --- node arrays [N, ...] ---
+    node_feat: jax.Array          # [N, F]   input node features
+    coord: jax.Array              # [N, 3]   positions (loc_0)
+    vel: jax.Array                # [N, 3]   velocities (vel_0)
+    node_mask: jax.Array          # [N]      bool, True = real node
+    graph_id: jax.Array           # [N]      int32 in [0, B]; B = padding
+    # --- edge arrays [E, ...] ---
+    dst: jax.Array                # [E]      int32 aggregation target (ref "row")
+    src: jax.Array                # [E]      int32 neighbour (ref "col")
+    edge_attr: jax.Array          # [E, Fe]  edge attributes
+    edge_mask: jax.Array          # [E]      bool, True = real edge
+    # --- targets / auxiliaries ---
+    coord_target: jax.Array       # [N, 3]   loc_t
+    loc_mean: jax.Array           # [B, 3, C] virtual-node init positions
+    node_attr: Optional[jax.Array] = None   # [N, Fa] (charges etc.)
+    # --- static metadata ---
+    n_graphs: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_feat.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.dst.shape[0]
+
+    def nodes_per_graph(self) -> jax.Array:
+        """Count of real nodes in each graph, shape [B]."""
+        ones = self.node_mask.astype(jnp.float32)
+        return jax.ops.segment_sum(ones, self.graph_id, num_segments=self.n_graphs + 1)[
+            : self.n_graphs
+        ]
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphSpec:
+    """Static capacities for one bucket of graphs."""
+
+    max_nodes: int
+    max_edges: int
+    n_graphs: int
+    node_feat_dim: int = 2
+    edge_attr_dim: int = 1
+    node_attr_dim: int = 1
+    virtual_channels: int = 3
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def pad_graph(
+    spec: GraphSpec,
+    *,
+    node_feat,
+    coord,
+    vel,
+    dst,
+    src,
+    edge_attr,
+    coord_target,
+    node_attr=None,
+    dtype=np.float32,
+) -> dict:
+    """Pad one raw graph's numpy arrays to the spec's single-graph capacities.
+
+    Returns plain numpy dict (host side); use :func:`batch_graphs` to fuse
+    several into a ``GraphBatch``.
+    """
+    n = _np(coord).shape[0]
+    e = _np(dst).shape[0]
+    if n > spec.max_nodes or e > spec.max_edges:
+        raise ValueError(
+            f"graph ({n} nodes, {e} edges) exceeds spec "
+            f"({spec.max_nodes} nodes, {spec.max_edges} edges)"
+        )
+
+    def pad_to(arr, cap, fill=0.0):
+        arr = _np(arr)
+        pad_width = [(0, cap - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad_width, constant_values=fill)
+
+    out = {
+        "node_feat": pad_to(node_feat, spec.max_nodes).astype(dtype),
+        "coord": pad_to(coord, spec.max_nodes).astype(dtype),
+        "vel": pad_to(vel, spec.max_nodes).astype(dtype),
+        "coord_target": pad_to(coord_target, spec.max_nodes).astype(dtype),
+        "node_mask": pad_to(np.ones(n, bool), spec.max_nodes).astype(bool),
+        "dst": pad_to(_np(dst).astype(np.int32), spec.max_edges),
+        "src": pad_to(_np(src).astype(np.int32), spec.max_edges),
+        "edge_attr": pad_to(edge_attr, spec.max_edges).astype(dtype),
+        "edge_mask": pad_to(np.ones(e, bool), spec.max_edges).astype(bool),
+        "n_nodes": n,
+        "n_edges": e,
+    }
+    if node_attr is not None:
+        out["node_attr"] = pad_to(node_attr, spec.max_nodes).astype(dtype)
+    return out
+
+
+def batch_graphs(
+    graphs: Sequence[dict],
+    spec: GraphSpec,
+    *,
+    sort_edges: bool = True,
+) -> GraphBatch:
+    """Concatenate padded single graphs into one packed ``GraphBatch``.
+
+    Equivalent role to torch_geometric's ``Batch.from_data_list`` (node index
+    offsetting + ``batch`` vector) but emits static shapes:
+    total capacity is ``len(graphs) * spec.max_nodes`` / ``... * max_edges``.
+
+    Edge indices of graph ``g`` are offset by ``g * spec.max_nodes``.  If
+    ``sort_edges``, edges are globally sorted by ``dst`` (stable), putting
+    padded edges (dst forced to 0 but masked) first; masking keeps this exact.
+    """
+    b = len(graphs)
+    if b != spec.n_graphs:
+        raise ValueError(f"got {b} graphs for spec with n_graphs={spec.n_graphs}")
+
+    def cat(key, fill_missing=None):
+        arrs = []
+        for g in graphs:
+            if key not in g and fill_missing is not None:
+                arrs.append(fill_missing)
+            else:
+                arrs.append(g[key])
+        return np.concatenate(arrs, axis=0)
+
+    node_feat = cat("node_feat")
+    coord = cat("coord")
+    vel = cat("vel")
+    coord_target = cat("coord_target")
+    node_mask = cat("node_mask")
+    edge_attr = cat("edge_attr")
+    edge_mask = cat("edge_mask")
+
+    # graph_id: real nodes -> g, padded nodes -> b (dump segment)
+    graph_id = np.concatenate(
+        [
+            np.where(g["node_mask"], np.int32(i), np.int32(b))
+            for i, g in enumerate(graphs)
+        ]
+    ).astype(np.int32)
+
+    dst = np.concatenate(
+        [
+            np.where(g["edge_mask"], g["dst"] + i * spec.max_nodes, 0)
+            for i, g in enumerate(graphs)
+        ]
+    ).astype(np.int32)
+    src = np.concatenate(
+        [
+            np.where(g["edge_mask"], g["src"] + i * spec.max_nodes, 0)
+            for i, g in enumerate(graphs)
+        ]
+    ).astype(np.int32)
+
+    if sort_edges:
+        order = np.argsort(dst, kind="stable")
+        dst, src = dst[order], src[order]
+        edge_attr, edge_mask = edge_attr[order], edge_mask[order]
+
+    # Virtual-node init: per-graph mean of real coords, repeated across C
+    # channels (reference datasets/nbody/dataset.py:96).
+    c = spec.virtual_channels
+    means = []
+    for g in graphs:
+        m = g["coord"][: g["n_nodes"]].mean(axis=0) if g["n_nodes"] else np.zeros(3)
+        means.append(np.repeat(m[:, None], c, axis=1))
+    loc_mean = np.stack(means).astype(np.float32)  # [B, 3, C]
+
+    node_attr = None
+    if all("node_attr" in g for g in graphs):
+        node_attr = jnp.asarray(cat("node_attr"))
+
+    return GraphBatch(
+        node_feat=jnp.asarray(node_feat),
+        coord=jnp.asarray(coord),
+        vel=jnp.asarray(vel),
+        node_mask=jnp.asarray(node_mask),
+        graph_id=jnp.asarray(graph_id),
+        dst=jnp.asarray(dst),
+        src=jnp.asarray(src),
+        edge_attr=jnp.asarray(edge_attr),
+        edge_mask=jnp.asarray(edge_mask),
+        coord_target=jnp.asarray(coord_target),
+        loc_mean=jnp.asarray(loc_mean),
+        node_attr=node_attr,
+        n_graphs=b,
+    )

@@ -1,0 +1,60 @@
+import numpy as np, jax, time, sys
+def log(*a): print(*a, flush=True)
+import fastegnn_tpu
+from fastegnn_tpu import GraphSpec, pad_graph, batch_graphs
+from fastegnn_tpu.models import get_model
+from fastegnn_tpu.ops import cutoff_edges_np
+log("backend:", jax.default_backend(), jax.devices())
+rng = np.random.default_rng(0)
+n, B = 100, 4
+graphs = []
+spec = GraphSpec(max_nodes=n, max_edges=4950, n_graphs=B, edge_attr_dim=2)
+for _ in range(B):
+    loc = rng.normal(size=(n,3)).astype(np.float32)
+    vel = rng.normal(size=(n,3)).astype(np.float32)
+    q = rng.choice([-1.,1.], size=(n,1)).astype(np.float32)
+    dst, src = cutoff_edges_np(loc, 0.5)
+    d0 = np.linalg.norm(loc[dst]-loc[src], axis=1, keepdims=True).astype(np.float32)
+    graphs.append(pad_graph(spec,
+        node_feat=np.concatenate([np.linalg.norm(vel,axis=1,keepdims=True), q/q.max()],1),
+        coord=loc, vel=vel, dst=dst, src=src,
+        edge_attr=np.concatenate([d0,d0],1), coord_target=loc+vel, node_attr=q))
+log("built graphs on host")
+batch = batch_graphs(graphs, spec)
+log("batch nodes/edges:", batch.num_nodes, batch.num_edges, "graphs:", batch.n_graphs)
+model = get_model("FastEGNN", hidden=64, virtual_channels=3, n_layers=4)
+t0=time.time()
+params = model.init(jax.random.key(0), batch)["params"]
+log(f"init done {time.time()-t0:.1f}s")
+nparams = sum(x.size for x in jax.tree.leaves(params))
+log("param count:", nparams)
+fwd = jax.jit(lambda p, g: model.apply({"params": p}, g))
+t0=time.time(); x, vx = fwd(params, batch); x.block_until_ready()
+log(f"first call (compile) {time.time()-t0:.1f}s; out shapes {x.shape} {vx.shape}")
+t0=time.time()
+for _ in range(10): x, vx = fwd(params, batch)
+x.block_until_ready()
+log(f"steady fwd: {(time.time()-t0)/10*1e3:.2f} ms/batch")
+log("coords finite:", bool(np.isfinite(np.asarray(x)).all()))
+from fastegnn_tpu.ops import random_rotation
+import jax.numpy as jnp
+R = jnp.asarray(random_rotation(np.random.default_rng(1)), jnp.float32)
+t = jnp.asarray(rng.normal(size=3), jnp.float32)
+rb = batch.replace(coord=batch.coord@R+t, vel=batch.vel@R,
+                   coord_target=batch.coord_target@R+t,
+                   loc_mean=jnp.einsum("ji,bjc->bic", R, batch.loc_mean)+t[None,:,None])
+x2, _ = fwd(params, rb)
+err = float(jnp.abs(x2 - (x@R+t)).max())
+log(f"PROBE equivariance max err on TPU: {err:.2e}")
+try:
+    pad_graph(GraphSpec(max_nodes=5, max_edges=10, n_graphs=1), node_feat=np.zeros((9,2)),
+              coord=np.zeros((9,3)), vel=np.zeros((9,3)), dst=np.zeros(3), src=np.zeros(3),
+              edge_attr=np.zeros((3,2)), coord_target=np.zeros((9,3)))
+    log("PROBE overflow: NO ERROR (bad)")
+except ValueError as e:
+    log("PROBE overflow ->", e)
+try:
+    get_model("NopeNet")
+except ValueError as e:
+    log("PROBE unknown model ->", e)
+log("DONE")
