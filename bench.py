@@ -1,0 +1,150 @@
+"""Headline benchmark: FastEGNN training-step throughput in edges/s per chip.
+
+Workload: Water-3D-scale synthetic geometry (8k-node graph, radius-graph
+degree ~60, reference ``run_simulation.sh`` config: H=64, C=3, L=4, gravity,
+MMD loss with per-graph sampling) — one fused train step (forward + MMD loss
++ backward + Adam), jit-compiled, steady-state timed.
+
+Metric: ``edges/s`` = (edges * message-passing layers) / step_time — the
+rate at which edge messages are produced AND aggregated through the whole
+training step.
+
+``vs_baseline`` = fraction of the single-chip speed-of-light estimate from a
+roofline model (BASELINE.md "SpMM SoL %" north star):
+  - compute bound: edge/virtual/node MLP FLOPs at peak bf16 MXU throughput;
+  - memory bound: minimal HBM traffic for the edge path at peak bandwidth;
+  - fwd+bwd cost 3x forward (two matmul transposes per Linear);
+  SoL step time = max(compute, memory); vs_baseline = sol_time / measured.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# v5e peak numbers (per chip)
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BW = 819e9  # bytes/s
+
+
+def build_batch(n_nodes=8000, degree=60, n_graphs=1, channels=3, seed=0):
+    from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
+    from fastegnn_tpu.ops.neighbors import radius_graph_np, sort_cutoff_np
+
+    rng = np.random.default_rng(seed)
+    # box side for expected degree d: n * (4/3 pi r^3) / V = d
+    r = 0.035
+    vol = n_nodes * (4.0 / 3.0) * np.pi * r**3 / degree
+    side = vol ** (1.0 / 3.0)
+    max_edges = int(n_nodes * degree * 1.35)
+    spec = GraphSpec(
+        max_nodes=n_nodes, max_edges=max_edges, n_graphs=n_graphs,
+        edge_attr_dim=2, virtual_channels=channels,
+    )
+    graphs = []
+    for g in range(n_graphs):
+        loc = (rng.random((n_nodes, 3)) * side).astype(np.float32)
+        vel = (rng.normal(size=(n_nodes, 3)) * 0.01).astype(np.float32)
+        dst, src = radius_graph_np(loc, r)
+        dst, src = sort_cutoff_np(dst, src, loc, 0.0)
+        if dst.size > max_edges:
+            dst, src = dst[:max_edges], src[:max_edges]
+        d0 = np.linalg.norm(loc[dst] - loc[src], axis=1, keepdims=True).astype(
+            np.float32
+        )
+        q = np.ones((n_nodes, 1), np.float32)
+        graphs.append(
+            pad_graph(
+                spec,
+                node_feat=np.concatenate(
+                    [np.linalg.norm(vel, axis=1, keepdims=True), q], axis=1
+                ),
+                coord=loc, vel=vel, dst=dst, src=src,
+                edge_attr=np.concatenate([d0, d0], axis=1),
+                coord_target=loc + vel, node_attr=q,
+            )
+        )
+    n_real_edges = sum(int(g["n_edges"]) for g in graphs)
+    return batch_graphs(graphs, spec), n_real_edges
+
+
+def sol_step_time(n_edges, n_nodes, n_graphs, hidden=64, channels=3, layers=4):
+    """Roofline speed-of-light estimate for the fused train step (seconds)."""
+    H, C = hidden, channels
+    # forward FLOPs per layer (MACs * 2)
+    edge_mlp = n_edges * ((2 * H + 3) * H + H * H) * 2
+    coord_gate = n_edges * (H * H + H) * 2
+    virt_mlp = n_nodes * C * ((2 * H + 1 + C) * H + H * H) * 2
+    virt_gates = 3 * n_nodes * C * (H * H + H) * 2
+    node_mlp = n_nodes * ((2 * H + C * H) * H + H * H) * 2
+    vel_mlp = n_nodes * (H * H + H) * 2
+    flops_fwd = edge_mlp + coord_gate + virt_mlp + virt_gates + node_mlp + vel_mlp
+    flops_total = layers * flops_fwd * 3  # bwd ~ 2x fwd
+    # Memory: with node tables resident in VMEM (8k x 64 fp32 = 2 MB) and
+    # perfect fusion, the unavoidable HBM traffic is the edge-message stream
+    # saved for backward (write fwd + read bwd) — everything else is on-chip.
+    bytes_total = layers * n_edges * (2 * H) * 4
+    return max(flops_total / PEAK_BF16_FLOPS, bytes_total / PEAK_HBM_BW)
+
+
+def main():
+    import jax
+
+    from fastegnn_tpu.models import FastEGNN
+    from fastegnn_tpu.train import TrainState, torch_adam
+    from fastegnn_tpu.train.step import make_train_step
+
+    N_NODES, DEGREE, LAYERS, HIDDEN, C = 8000, 60, 4, 64, 3
+    batch, n_real_edges = build_batch(N_NODES, DEGREE, channels=C)
+
+    model = FastEGNN(
+        hidden=HIDDEN, virtual_channels=C, n_layers=LAYERS, gravity=(0.0, -1.0, 0.0)
+    )
+    params = model.init(jax.random.key(0), batch)["params"]
+    tx = torch_adam(5e-4, 1e-12)
+    state = TrainState.create(params, tx)
+    step = make_train_step(
+        model, tx, sigma=1.0, weight=0.01, sample=3, per_graph_sampling=True
+    )
+
+    key = jax.random.key(1)
+    state, metrics = step(state, batch, key)  # compile
+    jax.block_until_ready(metrics)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    n_pad_edges = batch.num_edges
+    edges_per_s = n_pad_edges * LAYERS / dt
+    sol = sol_step_time(n_pad_edges, N_NODES, 1, HIDDEN, C, LAYERS)
+    print(
+        json.dumps(
+            {
+                "metric": "fastegnn_train_step_edge_rate",
+                "value": round(edges_per_s / 1e6, 3),
+                "unit": "M edge-messages/s/chip",
+                "vs_baseline": round(sol / dt, 4),
+                "detail": {
+                    "step_ms": round(dt * 1e3, 3),
+                    "sol_ms": round(sol * 1e3, 3),
+                    "nodes": N_NODES,
+                    "edges_padded": n_pad_edges,
+                    "edges_real": n_real_edges,
+                    "layers": LAYERS,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

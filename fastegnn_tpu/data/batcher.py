@@ -1,0 +1,61 @@
+"""Host-side dataset->GraphBatch streaming (the DataLoader replacement).
+
+The reference relies on torch_geometric's loader to concatenate graphs and
+offset edge indices per batch (``main_nbody.py:94-97``).  Here a dataset is a
+list of *pre-padded* single-graph dicts (see :func:`fastegnn_tpu.graph.pad_graph`)
+plus a per-graph :class:`GraphSpec`; batching stacks ``batch_size`` of them
+into one static-shape :class:`GraphBatch`.  Batch shapes depend only on
+``(spec, batch_size)``, so jitted steps compile once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from fastegnn_tpu.graph import GraphBatch, GraphSpec, batch_graphs
+
+
+class GraphDataset:
+    """A sequence of padded graphs with a shared per-graph spec."""
+
+    def __init__(self, graphs: Sequence[dict], spec: GraphSpec):
+        if spec.n_graphs != 1:
+            raise ValueError("per-graph spec must have n_graphs=1")
+        self.graphs: List[dict] = list(graphs)
+        self.spec = spec
+
+    def __len__(self) -> int:
+        return len(self.graphs)
+
+    def batch_spec(self, batch_size: int) -> GraphSpec:
+        return dataclasses.replace(self.spec, n_graphs=batch_size)
+
+    def collate(self, indices: Sequence[int]) -> GraphBatch:
+        spec = self.batch_spec(len(indices))
+        return batch_graphs([self.graphs[i] for i in indices], spec)
+
+    def iter_batches(
+        self,
+        batch_size: int,
+        rng: Optional[np.random.Generator] = None,
+        drop_last: bool = True,
+    ) -> Iterator[GraphBatch]:
+        """Yield batches; shuffled when ``rng`` is given.  ``drop_last``
+        mirrors the reference loaders (``main_nbody.py:94``)."""
+        order = np.arange(len(self.graphs))
+        if rng is not None:
+            rng.shuffle(order)
+        n = len(order)
+        end = n - (n % batch_size) if drop_last else n
+        for lo in range(0, end, batch_size):
+            idx = order[lo : lo + batch_size]
+            if len(idx) < batch_size and drop_last:
+                break
+            yield self.collate(idx)
+
+    def num_batches(self, batch_size: int, drop_last: bool = True) -> int:
+        n = len(self.graphs)
+        return n // batch_size if drop_last else -(-n // batch_size)

@@ -1,0 +1,15 @@
+from fastegnn_tpu.parallel.mesh import make_mesh
+from fastegnn_tpu.parallel.data_parallel import (
+    stack_shards,
+    shard_batch_for_mesh,
+    make_dp_train_step,
+    make_dp_eval_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "stack_shards",
+    "shard_batch_for_mesh",
+    "make_dp_train_step",
+    "make_dp_eval_step",
+]

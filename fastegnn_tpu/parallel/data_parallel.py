@@ -1,0 +1,149 @@
+"""Data parallelism over graphs: shard_map-ed train/eval steps.
+
+Entirely new capability (the reference is one process on one device,
+SURVEY.md §2c).  Design: a *sharded batch* is a GraphBatch pytree whose
+leaves carry a leading ``data``-sharded axis of size D, one independent
+sub-batch per device (graphs never straddle shards, so the only collectives
+are gradient/metric ``pmean`` — graph pooling stays local).  Single-device
+model code is reused verbatim inside ``shard_map``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastegnn_tpu.graph import GraphBatch
+from fastegnn_tpu.train.step import TrainState, make_loss_fn
+
+
+def stack_shards(batches: Sequence[GraphBatch]) -> GraphBatch:
+    """Stack per-device GraphBatches into one pytree with leading axis D."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def shard_batch_for_mesh(batch_stacked: GraphBatch, mesh: Mesh, axis: str = "data"):
+    """Place a stacked batch so the leading axis lives on ``axis``."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+        batch_stacked,
+    )
+
+
+def _unstack_local(batch_stacked: GraphBatch) -> GraphBatch:
+    """Inside shard_map each device sees a [1, ...] local block; drop it."""
+    return jax.tree.map(lambda x: x[0], batch_stacked)
+
+
+def make_dp_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    sigma: float = 1.5,
+    weight: float = 0.01,
+    sample: int = 3,
+    per_graph_sampling: bool = False,
+    use_mmd: bool = True,
+    axis: str = "data",
+) -> Callable:
+    """Returns jitted ``step(state, stacked_batch, key) -> (state, metrics)``.
+
+    ``state`` is replicated; ``stacked_batch`` leaves are [D, ...] sharded on
+    ``axis``; gradients and metrics are ``pmean``-ed across the axis.
+    """
+    loss_fn = make_loss_fn(model, sigma, weight, sample, per_graph_sampling, use_mmd)
+
+    def local_step(state: TrainState, batch_stacked, key):
+        graph = _unstack_local(batch_stacked)
+        # decorrelate MMD sampling across shards
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        (total, (mse, mmd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, graph, key
+        )
+        grads = jax.lax.pmean(grads, axis)
+        metrics = {
+            "loss": jax.lax.pmean(total, axis),
+            "mse": jax.lax.pmean(mse, axis),
+            "mmd": jax.lax.pmean(mmd, axis),
+        }
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_dp_eval_step(
+    model,
+    mesh: Mesh,
+    sigma: float = 1.5,
+    weight: float = 0.01,
+    sample: int = 3,
+    per_graph_sampling: bool = False,
+    use_mmd: bool = True,
+    axis: str = "data",
+) -> Callable:
+    loss_fn = make_loss_fn(model, sigma, weight, sample, per_graph_sampling, use_mmd)
+
+    def local_eval(params, batch_stacked, key):
+        graph = _unstack_local(batch_stacked)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        total, (mse, mmd) = loss_fn(params, graph, key)
+        return {
+            "loss": jax.lax.pmean(total, axis),
+            "mse": jax.lax.pmean(mse, axis),
+            "mmd": jax.lax.pmean(mmd, axis),
+        }
+
+    sharded = jax.shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_batches(
+    dataset,
+    batch_size: int,
+    n_shards: int,
+    rng: np.random.Generator | None = None,
+) -> List[GraphBatch]:
+    """Host-side: split each global batch into D equal sub-batches and stack.
+
+    ``batch_size`` is the *global* batch; must divide by ``n_shards``.
+    """
+    if batch_size % n_shards:
+        raise ValueError(f"batch_size {batch_size} not divisible by {n_shards}")
+    per = batch_size // n_shards
+    out = []
+    order = np.arange(len(dataset))
+    if rng is not None:
+        rng.shuffle(order)
+    usable = len(order) - (len(order) % batch_size)
+    for lo in range(0, usable, batch_size):
+        idx = order[lo : lo + batch_size]
+        shards = [
+            dataset.collate(idx[i * per : (i + 1) * per]) for i in range(n_shards)
+        ]
+        out.append(stack_shards(shards))
+    return out

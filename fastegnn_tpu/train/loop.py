@@ -1,0 +1,140 @@
+"""Training engine: epoch loop, eval cadence, early stopping, JSON logs.
+
+Reproduces the reference trainer's control flow (``utils/train.py:181-226``):
+validate/test every ``test_interval`` epochs, keep the best-validation
+checkpoint, early-stop after ``early_stop`` epochs without improvement, and
+rewrite a JSON log ``[best_log_dict, log_dict]`` every epoch.  The logged
+per-epoch loss is the pure MSE (the optimized loss additionally carries the
+weighted MMD term — reference ``utils/train.py:104-108,163-165``).
+
+New over the reference: orbax checkpoints carry params + optimizer state +
+step (not just params), and per-epoch wall-clock/step-rate telemetry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from fastegnn_tpu.data.batcher import GraphDataset
+from fastegnn_tpu.train.checkpoint import save_checkpoint
+from fastegnn_tpu.train.step import TrainState, make_eval_step, make_train_step
+
+
+def _run_epoch_train(train_step, state, dataset, batch_size, key, epoch, rng):
+    losses = []
+    for i, batch in enumerate(dataset.iter_batches(batch_size, rng=rng)):
+        k = jax.random.fold_in(key, epoch * 1_000_003 + i)
+        state, metrics = train_step(state, batch, k)
+        losses.append(metrics["mse"])
+    return state, float(np.mean([float(x) for x in losses]))
+
+
+def _run_epoch_eval(eval_step, params, dataset, batch_size, key, epoch):
+    losses = []
+    for i, batch in enumerate(dataset.iter_batches(batch_size, rng=None)):
+        k = jax.random.fold_in(key, epoch * 999_983 + i)
+        metrics = eval_step(params, batch, k)
+        losses.append(metrics["mse"])
+    return float(np.mean([float(x) for x in losses]))
+
+
+def train(
+    model,
+    state: TrainState,
+    tx,
+    dataset_train: GraphDataset,
+    dataset_valid: GraphDataset,
+    dataset_test: GraphDataset,
+    *,
+    batch_size: int,
+    sigma: float,
+    weight: float,
+    sample: int = 3,
+    per_graph_sampling: bool = False,
+    use_mmd: bool = True,
+    test_interval: int = 5,
+    early_stop: float = float("inf"),
+    max_epochs: int = 1_000_000,
+    seed: int = 43,
+    log_directory: Optional[str] = None,
+    log_name: str = "train_log.json",
+    ckpt_directory: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Returns ``(best_log_dict, log_dict, final_state)``."""
+    train_step = make_train_step(
+        model, tx, sigma, weight, sample, per_graph_sampling, use_mmd
+    )
+    eval_step = make_eval_step(
+        model, sigma, weight, sample, per_graph_sampling, use_mmd
+    )
+    key = jax.random.key(seed)
+    shuffle_rng = np.random.default_rng(seed)
+
+    log_dict = {"epochs": [], "loss": [], "loss_train": []}
+    best = {"epoch_index": 0, "loss_valid": 1e8, "loss_test": 1e8, "loss_train": 1e8}
+    start = time.perf_counter()
+
+    for epoch in range(1, max_epochs + 1):
+        state, loss_train = _run_epoch_train(
+            train_step, state, dataset_train, batch_size, key, epoch, shuffle_rng
+        )
+        log_dict["loss_train"].append(loss_train)
+        if verbose:
+            print(f"train epoch: {epoch}, avg loss: {loss_train:.5f}", flush=True)
+
+        if epoch % test_interval == 0:
+            loss_valid = _run_epoch_eval(
+                eval_step, state.params, dataset_valid, batch_size, key, epoch
+            )
+            loss_test = _run_epoch_eval(
+                eval_step, state.params, dataset_test, batch_size, key, epoch
+            )
+            log_dict["epochs"].append(epoch)
+            log_dict["loss"].append(loss_test)
+            if verbose:
+                print(
+                    f"==> valid epoch: {epoch}, avg loss: {loss_valid:.5f}\n"
+                    f"==> test epoch: {epoch}, avg loss: {loss_test:.5f}",
+                    flush=True,
+                )
+
+            if loss_valid < best["loss_valid"]:
+                best = {
+                    "epoch_index": epoch,
+                    "loss_valid": loss_valid,
+                    "loss_test": loss_test,
+                    "loss_train": loss_train,
+                }
+                if ckpt_directory is not None:
+                    save_checkpoint(
+                        os.path.join(ckpt_directory, "best"),
+                        {"params": state.params, "opt_state": state.opt_state,
+                         "step": state.step},
+                    )
+            if verbose:
+                print(
+                    f"*** Best Valid Loss: {best['loss_valid']:.5f} | "
+                    f"Best Test Loss: {best['loss_test']:.5f} | "
+                    f"Best Epoch Index: {best['epoch_index']}",
+                    flush=True,
+                )
+            if epoch - best["epoch_index"] >= early_stop:
+                best["early_stop"] = epoch
+                if verbose:
+                    print(f"Early stopped! Epoch: {epoch}", flush=True)
+                break
+
+        best["time_cost"] = time.perf_counter() - start
+        if log_directory is not None:
+            os.makedirs(log_directory, exist_ok=True)
+            with open(os.path.join(log_directory, log_name), "w") as f:
+                json.dump([best, log_dict], f, indent=4)
+
+    return best, log_dict, state

@@ -1,0 +1,106 @@
+"""Minimum end-to-end slice: datagen -> dataset -> FastEGNN -> train loop.
+
+The gate from SURVEY.md §7 stage 5: a tiny charged system trains end to end,
+loss decreases, logs/checkpoints are written, resume restores state.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from fastegnn_tpu.data.nbody import NBodyDataset
+from fastegnn_tpu.data.nbody_sim import generate_dataset
+from fastegnn_tpu.models import FastEGNN
+from fastegnn_tpu.train import TrainState, torch_adam, train
+from fastegnn_tpu.train.checkpoint import restore_checkpoint
+from fastegnn_tpu.train.step import make_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nbody"))
+    name = generate_dataset(
+        path, 5, num_train=8, num_valid=4, num_test=4,
+        length=4100, sample_freq=100, seed=1,
+    )
+    return path, name
+
+
+def _datasets(path, name, cutoff=0.0):
+    mk = lambda part: NBodyDataset(
+        path, name, partition=part, virtual_channels=3,
+        cutoff_rate=cutoff, rotation_seed=7,
+    )
+    return mk("train"), mk("valid"), mk("test")
+
+
+def test_train_loss_decreases(tiny_data, tmp_path):
+    path, name = tiny_data
+    dtr, dva, dte = _datasets(path, name)
+    model = FastEGNN(hidden=32, virtual_channels=3, n_layers=2)
+    example = dtr.collate([0, 1])
+    params = model.init(jax.random.key(0), example)["params"]
+    tx = torch_adam(5e-4, 1e-12)
+    state = TrainState.create(params, tx)
+
+    best, log, state = train(
+        model, state, tx, dtr, dva, dte,
+        batch_size=4, sigma=1.5, weight=0.01,
+        test_interval=5, max_epochs=15, seed=43,
+        log_directory=str(tmp_path), log_name="log.json",
+        ckpt_directory=str(tmp_path / "ckpt"), verbose=False,
+    )
+    assert log["loss_train"][-1] < log["loss_train"][0]
+    assert best["loss_valid"] < 1e8 and best["loss_test"] < 1e8
+
+    # JSON log structure matches the reference's [best, log] layout
+    with open(tmp_path / "log.json") as f:
+        saved = json.load(f)
+    assert saved[0]["epoch_index"] == best["epoch_index"]
+    assert saved[1]["loss_train"] == log["loss_train"]
+
+    # checkpoint restores
+    ck = restore_checkpoint(
+        str(tmp_path / "ckpt" / "best"),
+        target={"params": state.params, "opt_state": state.opt_state,
+                "step": state.step},
+    )
+    flat_saved = jax.tree.leaves(ck["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat_saved)
+
+
+def test_early_stop(tiny_data, tmp_path):
+    path, name = tiny_data
+    dtr, dva, dte = _datasets(path, name)
+    model = FastEGNN(hidden=16, virtual_channels=3, n_layers=1)
+    params = model.init(jax.random.key(0), dtr.collate([0, 1]))["params"]
+    tx = torch_adam(0.0)  # lr 0 -> no improvement after the first eval
+    state = TrainState.create(params, tx)
+    best, log, _ = train(
+        model, state, tx, dtr, dva, dte,
+        batch_size=4, sigma=1.5, weight=0.01,
+        test_interval=1, early_stop=3, max_epochs=50, seed=0,
+        verbose=False,
+    )
+    assert "early_stop" in best
+    assert best["early_stop"] <= best["epoch_index"] + 3 + 1
+
+
+def test_train_step_jit_cache(tiny_data):
+    """Same-spec batches must not retrigger compilation (static shapes)."""
+    path, name = tiny_data
+    dtr, _, _ = _datasets(path, name)
+    model = FastEGNN(hidden=16, virtual_channels=3, n_layers=1)
+    params = model.init(jax.random.key(0), dtr.collate([0, 1]))["params"]
+    tx = torch_adam(1e-3)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, 1.5, 0.01, 3)
+    batches = list(dtr.iter_batches(2, rng=np.random.default_rng(0)))
+    state, _ = step(state, batches[0], jax.random.key(0))
+    compiled_before = step._cache_size()
+    for b in batches[1:]:
+        state, _ = step(state, b, jax.random.key(1))
+    assert step._cache_size() == compiled_before == 1
