@@ -57,7 +57,7 @@ def main(argv=None):
         jax.config.update("jax_platform_name", args.platform)
 
     from fastegnn_tpu.data.nbody import NBodyDataset
-    from fastegnn_tpu.models import get_model
+    from fastegnn_tpu.models import MMD_MODELS, get_model
     from fastegnn_tpu.train import TrainState, torch_adam, train
 
     ds = lambda part, mx: NBodyDataset(
@@ -103,6 +103,7 @@ def main(argv=None):
         sigma=args.sigma,
         weight=args.weight,
         sample=args.sample,
+        use_mmd=args.model in MMD_MODELS,
         test_interval=args.test_interval,
         early_stop=args.early_stop,
         max_epochs=args.max_epochs,

@@ -56,6 +56,8 @@ class GraphBatch:
     coord_target: jax.Array       # [N, 3]   loc_t
     loc_mean: jax.Array           # [B, 3, C] virtual-node init positions
     node_attr: Optional[jax.Array] = None   # [N, Fa] (charges etc.)
+    virtual_fibonacci: Optional[jax.Array] = None  # [B, 3, C] VNEGNN virtual
+    # positions (fibonacci sphere, ref datasets/protein/dataset.py:176-205)
     # --- static metadata ---
     n_graphs: int = struct.field(pytree_node=False, default=1)
 

@@ -2,12 +2,62 @@
 
 Mirrors the reference's CLI dispatch tables (``main_nbody.py:102-131``,
 ``main_protein.py``, ``main_simulation.py``) as a name -> constructor map.
+``MMD_MODELS`` is the Fast* family that trains with the MMD virtual-node
+auxiliary loss (``utils/train.py:111-112``).
 """
 
 from fastegnn_tpu.models.fast_egnn import FastEGNN, EGCLVel
+from fastegnn_tpu.models.fast_rf import FastRF, RFGCLVel
+from fastegnn_tpu.models.vnegnn import VNEGNN
+from fastegnn_tpu.models.schnet import SchNet, FastSchNet, SchNetGCL, SchNetCore
+from fastegnn_tpu.models.gvp import GVPNet, GVPCell, GVPConvolution
+from fastegnn_tpu.models.basic import (
+    EGNN,
+    GNN,
+    EGMN,
+    FullMLP,
+    LinearDynamics,
+    RFVel,
+    BaseMLP,
+    InvariantScalarNet,
+    EquivariantScalarNet,
+    EquivariantEdgeScalarNet,
+)
 
 MODEL_REGISTRY = {
     "FastEGNN": FastEGNN,
+    "FastRF": FastRF,
+    "FastSchNet": FastSchNet,
+    "VNEGNN": VNEGNN,
+    "EGNN": EGNN,
+    "GNN": GNN,
+    "Linear": LinearDynamics,
+    "RF": RFVel,
+    "MLP": FullMLP,
+    "SchNet": SchNet,
+    "GVP": GVPNet,
+}
+
+# Models whose training loss includes the MMD virtual-node term
+# (utils/train.py:111-112).
+MMD_MODELS = {"FastEGNN", "FastRF", "FastTFN", "FastSchNet"}
+
+# Constructor kwargs each model accepts (the CLI filters its arg set by this).
+_GEOMETRIC_KW = {"hidden", "n_layers", "attention", "normalize", "tanh"}
+MODEL_KWARGS = {
+    "FastEGNN": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
+    "FastRF": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
+    "FastSchNet": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
+    "VNEGNN": _GEOMETRIC_KW | {"virtual_channels"},
+    "EGNN": {"hidden", "n_layers"},
+    "GNN": {"hidden", "n_layers"},
+    "Linear": set(),
+    "RF": {"hidden", "n_layers"},
+    "MLP": {"hidden", "n_layers"},
+    # reference CLI fixes SchNet to 16 interactions regardless of --num_layer
+    # (main_nbody.py:129)
+    "SchNet": {"hidden", "num_interactions", "num_filters", "num_gaussians", "cutoff"},
+    "GVP": {"n_layers", "node_h_dim", "edge_h_dim", "drop_rate"},
 }
 
 
@@ -18,7 +68,30 @@ def get_model(name: str, **kwargs):
         raise ValueError(
             f"Unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}"
         ) from None
+    allowed = MODEL_KWARGS.get(name)
+    if allowed is not None:
+        kwargs = {k: v for k, v in kwargs.items() if k in allowed}
     return cls(**kwargs)
 
 
-__all__ = ["FastEGNN", "EGCLVel", "MODEL_REGISTRY", "get_model"]
+__all__ = [
+    "FastEGNN",
+    "EGCLVel",
+    "FastRF",
+    "RFGCLVel",
+    "VNEGNN",
+    "EGNN",
+    "GNN",
+    "EGMN",
+    "FullMLP",
+    "LinearDynamics",
+    "RFVel",
+    "BaseMLP",
+    "InvariantScalarNet",
+    "EquivariantScalarNet",
+    "EquivariantEdgeScalarNet",
+    "MODEL_REGISTRY",
+    "MMD_MODELS",
+    "MODEL_KWARGS",
+    "get_model",
+]
