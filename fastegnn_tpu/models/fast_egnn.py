@@ -27,6 +27,25 @@ Math per layer (reference ``models/FastEGNN.py:192-223``):
 - X_gc     += mean_{n in g} vdiff * phi_X(M)             (:146-150)
 - h_n      += phi_h(h, mean_e m, flatten_c M)            (:153-166)
 - Hv_gc    += phi_hv(Hv, mean_n M)                       (:168-177)
+
+Graph parallelism (``shard_axis``)
+----------------------------------
+Entirely new capability (the reference is single-device).  Inside
+``shard_map`` over a mesh axis of size ``G`` the layer runs the
+sequence-parallel-style pattern:
+
+- node state (h, x) is **replicated**; each shard holds **E/G edges** and
+  owns the contiguous node rows ``[i*N/G, (i+1)*N/G)``;
+- edge block: local gather + edge MLP + *partial* segment-sums, then
+  ``psum_scatter`` (reduce-scatter) delivers each shard the exact aggregates
+  for its owned rows;
+- dense virtual block, coordinate/feature updates: computed only on owned
+  rows (N/G work per shard); per-graph pools are partial sums ``psum``-ed;
+- updated node state is ``all_gather``-ed back to replicated.
+
+All collectives ride the mesh axis (ICI); per-layer comm volume is
+O(N*(H+3)) vs O(E*H) compute.  Exactness: 1-shard vs G-shard outputs agree
+to float tolerance (see tests/test_graph_parallel.py).
 """
 
 from __future__ import annotations
@@ -39,7 +58,16 @@ from flax import linen as fnn
 
 from fastegnn_tpu.graph import GraphBatch
 from fastegnn_tpu.models.nn import MLP, CoordMLP, Linear
-from fastegnn_tpu.ops.segment import graph_mean_pool, segment_mean
+from fastegnn_tpu.ops.segment import (
+    graph_mean_pool,
+    segment_count,
+    segment_mean,
+    segment_sum,
+)
+
+
+def _slice_rows(arr, start, size):
+    return jax.lax.dynamic_slice_in_dim(arr, start, size, axis=0)
 
 
 class EGCLVel(fnn.Module):
@@ -54,106 +82,128 @@ class EGCLVel(fnn.Module):
     tanh: bool = False
     has_gravity: bool = False
     epsilon: float = 1e-8
+    shard_axis: Optional[str] = None   # mesh axis for graph parallelism
+    shard_axis_size: int = 1
 
     @fnn.compact
     def __call__(
         self,
-        h: jax.Array,              # [N, H]
+        h: jax.Array,              # [N, H]  (replicated when sharded)
         x: jax.Array,              # [N, 3]
         v: jax.Array,              # [N, 3]
         vx: jax.Array,             # [B, C, 3] virtual coords
         vh: jax.Array,             # [B, C, H] virtual feats
-        graph: GraphBatch,
+        graph: GraphBatch,         # local edge shard when sharded
         gravity: Optional[jax.Array] = None,   # [3]
         node_attr: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
         H, C = self.hidden, self.virtual_channels
         n_graphs = graph.n_graphs
         dst, src = graph.dst, graph.src
-        emask, nmask = graph.edge_mask, graph.node_mask
-        gid = graph.graph_id  # [N], padding -> n_graphs
+        emask = graph.edge_mask
+        N = h.shape[0]
+        ax = self.shard_axis
+        G = self.shard_axis_size if ax is not None else 1
+        if N % G:
+            raise ValueError(f"nodes ({N}) must divide by shard_axis_size ({G})")
+        n_loc = N // G
 
-        # --- sparse real<->real geometry ---
+        # ---- submodules (named once; identical param tree for both paths) ----
+        edge_mlp = MLP([H, H], act_final=True, name="edge_mlp")
+        edge_mlp_virtual = MLP([H, H], act_final=True, name="edge_mlp_virtual")
+        coord_mlp_r = CoordMLP(H, tanh=self.tanh, name="coord_mlp_r")
+        coord_mlp_r_virtual = CoordMLP(H, tanh=self.tanh, name="coord_mlp_r_virtual")
+        coord_mlp_v_virtual = CoordMLP(H, tanh=self.tanh, name="coord_mlp_v_virtual")
+        coord_mlp_vel = MLP([H, 1], name="coord_mlp_vel")
+        node_mlp = MLP([H, H], name="node_mlp")
+        node_mlp_virtual = MLP([H, H], name="node_mlp_virtual")
+        att_mlp = Linear(1, name="att_mlp") if self.attention else None
+        att_mlp_virtual = Linear(1, name="att_mlp_virtual") if self.attention else None
+        gravity_mlp = MLP([H, 1], name="gravity_mlp") if self.has_gravity else None
+
+        # ---- sparse real<->real edge block (local edges) ----
         coord_diff = x[dst] - x[src]                      # [E, 3]
         radial = jnp.sum(coord_diff**2, axis=-1, keepdims=True)  # [E, 1]
         if self.normalize:
             norm = jax.lax.stop_gradient(jnp.sqrt(radial)) + self.epsilon
             coord_diff = coord_diff / norm
 
-        # --- dense real<->virtual geometry ---
-        # gather virtual state per node; clip dump graph_id to a valid row
-        # (those rows are masked out of every pool and loss).
-        vx_n = jnp.take(vx, gid, axis=0, mode="clip")     # [N, C, 3]
-        vh_n = jnp.take(vh, gid, axis=0, mode="clip")     # [N, C, H]
-        vdiff = vx_n - x[:, None, :]                      # [N, C, 3]  (X - x)
-        vrad = jnp.linalg.norm(vdiff, axis=-1, keepdims=True)  # [N, C, 1]
-
-        # --- edge model phi_e ---
         e_in = jnp.concatenate([h[dst], h[src], radial, graph.edge_attr], axis=-1)
-        m_e = MLP([H, H], act_final=True, name="edge_mlp")(e_in)  # [E, H]
+        m_e = edge_mlp(e_in)                              # [E, H]
         if self.attention:
-            m_e = m_e * fnn.sigmoid(Linear(1, name="att_mlp")(m_e))
+            m_e = m_e * fnn.sigmoid(att_mlp(m_e))
+        trans = coord_diff * coord_mlp_r(m_e)             # [E, 3]
 
-        # --- virtual edge model phi_ev ---
-        coord_mean = graph_mean_pool(x, gid, n_graphs, nmask)     # [B, 3]
-        m_x = vx - coord_mean[:, None, :]                         # [B, C, 3]
-        gram = jnp.einsum("bci,bdi->bcd", m_x, m_x)               # [B, C, C]
-        gram_n = jnp.take(gram, gid, axis=0, mode="clip")         # [N, C, C]
-        ev_in = jnp.concatenate(
-            [
-                jnp.broadcast_to(h[:, None, :], (h.shape[0], C, H)),
-                vh_n,
-                vrad,
-                gram_n,
-            ],
-            axis=-1,
-        )  # [N, C, 2H+1+C]
-        m_v = MLP([H, H], act_final=True, name="edge_mlp_virtual")(ev_in)  # [N, C, H]
-        if self.attention:
-            m_v = m_v * fnn.sigmoid(Linear(1, name="att_mlp_virtual")(m_v))
+        # partial segment reductions over all N rows
+        trans_sum = segment_sum(trans, dst, N, mask=emask, indices_are_sorted=True)
+        m_sum = segment_sum(m_e, dst, N, mask=emask, indices_are_sorted=True)
+        cnt = segment_count(dst, N, mask=emask, indices_are_sorted=True)
 
-        # --- coordinate update, real nodes (phi_x, phi_xv, phi_v, phi_g) ---
-        trans = coord_diff * CoordMLP(H, tanh=self.tanh, name="coord_mlp_r")(m_e)
-        if self.coords_agg == "mean":
-            agg = segment_mean(
-                trans, dst, h.shape[0], mask=emask, indices_are_sorted=True
-            )
-        elif self.coords_agg == "sum":
-            agg = jax.ops.segment_sum(
-                trans * emask[:, None].astype(trans.dtype),
-                dst,
-                num_segments=h.shape[0],
-                indices_are_sorted=True,
-            )
+        if ax is None:
+            i0 = 0
+            h_l, x_l, v_l = h, x, v
+            gid_l, nmask_l = graph.graph_id, graph.node_mask
+            na_l = node_attr
+            trans_l, m_agg_l, cnt_l = trans_sum, m_sum, cnt
         else:
-            raise ValueError(f"bad coords_agg {self.coords_agg!r}")
-        x_new = x + agg
-        gate_xv = CoordMLP(H, tanh=self.tanh, name="coord_mlp_r_virtual")(m_v)  # [N,C,1]
-        x_new = x_new + jnp.mean(-vdiff * gate_xv, axis=1)  # [N, 3]
-        x_new = x_new + MLP([H, 1], name="coord_mlp_vel")(h) * v
-        if self.has_gravity:
-            x_new = x_new + MLP([H, 1], name="gravity_mlp")(h) * gravity
+            i0 = jax.lax.axis_index(ax) * n_loc
+            h_l, x_l, v_l = (_slice_rows(a, i0, n_loc) for a in (h, x, v))
+            gid_l = _slice_rows(graph.graph_id, i0, n_loc)
+            nmask_l = _slice_rows(graph.node_mask, i0, n_loc)
+            na_l = _slice_rows(node_attr, i0, n_loc) if node_attr is not None else None
+            # reduce-scatter: exact global aggregates for owned rows only
+            rs = lambda a: jax.lax.psum_scatter(a, ax, scatter_dimension=0, tiled=True)
+            trans_l, m_agg_l, cnt_l = rs(trans_sum), rs(m_sum), rs(cnt)
 
-        # --- coordinate update, virtual nodes (phi_X) ---
-        gate_X = CoordMLP(H, tanh=self.tanh, name="coord_mlp_v_virtual")(m_v)
-        vx_new = vx + graph_mean_pool(vdiff * gate_X, gid, n_graphs, nmask)  # [B,C,3]
+        cnt_l = jnp.maximum(cnt_l, 1.0)
+        agg_x_l = trans_l / cnt_l[:, None] if self.coords_agg == "mean" else trans_l
+        agg_e_l = m_agg_l / cnt_l[:, None]   # node model always uses mean (:156)
 
-        # --- node feature update (phi_h) ---
-        agg_e = segment_mean(m_e, dst, h.shape[0], mask=emask, indices_are_sorted=True)
-        flat_mv = m_v.reshape(m_v.shape[0], C * H)  # [C,H]-order flatten (see module doc)
-        h_parts = [h, agg_e, flat_mv]
-        if node_attr is not None:
-            h_parts.append(node_attr)
-        dh = MLP([H, H], name="node_mlp")(jnp.concatenate(h_parts, axis=-1))
-        h_new = h + dh if self.residual else dh
+        # ---- dense real<->virtual block on owned rows ----
+        vx_n = jnp.take(vx, gid_l, axis=0, mode="clip")   # [n_loc, C, 3]
+        vh_n = jnp.take(vh, gid_l, axis=0, mode="clip")   # [n_loc, C, H]
+        vdiff = vx_n - x_l[:, None, :]                    # [n_loc, C, 3]
+        vrad = jnp.linalg.norm(vdiff, axis=-1, keepdims=True)
 
-        # --- virtual feature update (phi_hv) ---
-        pool_mv = graph_mean_pool(m_v, gid, n_graphs, nmask)  # [B, C, H]
-        dvh = MLP([H, H], name="node_mlp_virtual")(
-            jnp.concatenate([vh, pool_mv], axis=-1)
+        coord_mean = graph_mean_pool(x_l, gid_l, n_graphs, nmask_l, axis=ax)  # [B,3]
+        m_x = vx - coord_mean[:, None, :]                 # [B, C, 3]
+        gram = jnp.einsum("bci,bdi->bcd", m_x, m_x)       # [B, C, C]
+        gram_n = jnp.take(gram, gid_l, axis=0, mode="clip")
+        ev_in = jnp.concatenate(
+            [jnp.broadcast_to(h_l[:, None, :], (n_loc, C, H)), vh_n, vrad, gram_n],
+            axis=-1,
         )
+        m_v = edge_mlp_virtual(ev_in)                     # [n_loc, C, H]
+        if self.attention:
+            m_v = m_v * fnn.sigmoid(att_mlp_virtual(m_v))
+
+        # ---- coordinate update, owned real rows ----
+        x_new_l = x_l + agg_x_l
+        x_new_l = x_new_l + jnp.mean(-vdiff * coord_mlp_r_virtual(m_v), axis=1)
+        x_new_l = x_new_l + coord_mlp_vel(h_l) * v_l
+        if self.has_gravity:
+            x_new_l = x_new_l + gravity_mlp(h_l) * gravity
+
+        # ---- virtual updates (replicated outputs; pools psum over ax) ----
+        vx_new = vx + graph_mean_pool(
+            vdiff * coord_mlp_v_virtual(m_v), gid_l, n_graphs, nmask_l, axis=ax
+        )
+        pool_mv = graph_mean_pool(m_v, gid_l, n_graphs, nmask_l, axis=ax)  # [B,C,H]
+        dvh = node_mlp_virtual(jnp.concatenate([vh, pool_mv], axis=-1))
         vh_new = vh + dvh if self.residual else dvh
 
+        # ---- node feature update, owned rows ----
+        flat_mv = m_v.reshape(n_loc, C * H)  # [C,H]-order flatten (see module doc)
+        h_parts = [h_l, agg_e_l, flat_mv]
+        if na_l is not None:
+            h_parts.append(na_l)
+        dh = node_mlp(jnp.concatenate(h_parts, axis=-1))
+        h_new_l = h_l + dh if self.residual else dh
+
+        if ax is None:
+            return h_new_l, x_new_l, vx_new, vh_new
+        h_new = jax.lax.all_gather(h_new_l, ax, axis=0, tiled=True)
+        x_new = jax.lax.all_gather(x_new_l, ax, axis=0, tiled=True)
         return h_new, x_new, vx_new, vh_new
 
 
@@ -161,6 +211,9 @@ class FastEGNN(fnn.Module):
     """Reference ``FastEGNN`` wrapper (``models/FastEGNN.py:226-276``).
 
     ``__call__(graph) -> (coord_pred [N,3], virtual_coord [B,3,C])``.
+
+    Set ``shard_axis``/``shard_axis_size`` to run graph-parallel inside
+    ``shard_map`` (see module docstring); params are identical either way.
     """
 
     hidden: int = 64
@@ -172,6 +225,8 @@ class FastEGNN(fnn.Module):
     tanh: bool = False
     gravity: Optional[Tuple[float, float, float]] = None
     use_node_attr: bool = False
+    shard_axis: Optional[str] = None
+    shard_axis_size: int = 1
 
     @fnn.compact
     def __call__(self, graph: GraphBatch) -> Tuple[jax.Array, jax.Array]:
@@ -202,6 +257,8 @@ class FastEGNN(fnn.Module):
                 normalize=self.normalize,
                 tanh=self.tanh,
                 has_gravity=self.gravity is not None,
+                shard_axis=self.shard_axis,
+                shard_axis_size=self.shard_axis_size,
                 name=f"gcl_{i}",
             )(h, x, v, vx, vh, graph, gravity=g, node_attr=node_attr)
 

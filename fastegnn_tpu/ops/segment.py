@@ -121,13 +121,21 @@ def graph_sum_pool(
     graph_id: jax.Array,
     n_graphs: int,
     node_mask: Optional[jax.Array] = None,
+    axis: Optional[str] = None,
 ) -> jax.Array:
     """Per-graph sum over nodes -> [B, ...].  ``graph_id`` may contain the
-    dump segment ``n_graphs`` for padded nodes; it is computed then dropped."""
+    dump segment ``n_graphs`` for padded nodes; it is computed then dropped.
+
+    With ``axis`` set (inside shard_map, nodes sharded over that mesh axis),
+    partial per-shard sums are ``psum``-ed into the exact global pool.
+    """
     out = segment_sum(
         data, graph_id, n_graphs + 1, mask=node_mask, indices_are_sorted=True
     )
-    return out[:n_graphs]
+    out = out[:n_graphs]
+    if axis is not None:
+        out = jax.lax.psum(out, axis)
+    return out
 
 
 def graph_mean_pool(
@@ -135,10 +143,24 @@ def graph_mean_pool(
     graph_id: jax.Array,
     n_graphs: int,
     node_mask: Optional[jax.Array] = None,
+    axis: Optional[str] = None,
 ) -> jax.Array:
     """Per-graph mean over *real* nodes -> [B, ...]; PyG ``global_mean_pool``
-    equivalent (reference ``models/FastEGNN.py:148,170,212``)."""
-    out = segment_mean(
+    equivalent (reference ``models/FastEGNN.py:148,170,212``).
+
+    With ``axis`` set, sums and counts are ``psum``-ed across the mesh axis
+    before dividing, keeping the mean exact under node sharding.
+    """
+    total = segment_sum(
         data, graph_id, n_graphs + 1, mask=node_mask, indices_are_sorted=True
+    )[:n_graphs]
+    count = segment_count(
+        graph_id, n_graphs + 1, mask=node_mask, indices_are_sorted=True
+    )[:n_graphs]
+    if axis is not None:
+        total = jax.lax.psum(total, axis)
+        count = jax.lax.psum(count, axis)
+    count = jnp.maximum(count, 1.0)
+    return total / count.reshape(count.shape + (1,) * (total.ndim - 1)).astype(
+        total.dtype
     )
-    return out[:n_graphs]

@@ -5,6 +5,11 @@ from fastegnn_tpu.parallel.data_parallel import (
     make_dp_train_step,
     make_dp_eval_step,
 )
+from fastegnn_tpu.parallel.graph_parallel import (
+    shard_graph_batch,
+    make_gp_train_step,
+    make_gp_forward,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +17,7 @@ __all__ = [
     "shard_batch_for_mesh",
     "make_dp_train_step",
     "make_dp_eval_step",
+    "shard_graph_batch",
+    "make_gp_train_step",
+    "make_gp_forward",
 ]

@@ -28,9 +28,11 @@ def stack_shards(batches: Sequence[GraphBatch]) -> GraphBatch:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
-def shard_batch_for_mesh(batch_stacked: GraphBatch, mesh: Mesh, axis: str = "data"):
-    """Place a stacked batch so the leading axis lives on ``axis``."""
-    sharding = NamedSharding(mesh, P(axis))
+def shard_batch_for_mesh(batch_stacked: GraphBatch, mesh: Mesh, axis="data"):
+    """Place a stacked batch so the leading axis (or axes, if ``axis`` is a
+    tuple) lives on the named mesh axis(es)."""
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    sharding = NamedSharding(mesh, P(*axes))
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
         batch_stacked,
