@@ -16,10 +16,16 @@ Conventions
   ``coord[dst[e]] - coord[src[e]]`` and is aggregated at ``dst[e]``.
 - Padded nodes have ``graph_id == n_graphs`` (a dump segment) and
   ``node_mask == False``.
-- Padded edges have ``dst == src == 0`` and ``edge_mask == False``; all
-  scatter/segment ops mask messages before aggregation.
-- Edges are sorted by ``dst`` (CSR order) by the batcher so segment reductions
-  can use ``indices_are_sorted=True`` and Pallas kernels can walk row blocks.
+- Padded edges have ``dst == total_node_capacity`` (an out-of-range sentinel)
+  and ``edge_mask == False``: XLA segment ops drop out-of-range ids and the
+  Pallas CSR kernel never matches them to a row, so padded edges self-exclude
+  without a mask multiply; gathers clamp (``mode='clip'``) and the resulting
+  garbage rows are masked downstream.
+- Edges are sorted by ``dst`` (CSR order) by the batcher — padded edges sort
+  last — so segment reductions use ``indices_are_sorted=True`` and Pallas
+  kernels walk contiguous row blocks.
+- ``dst_count[n]`` caches the real in-degree of node ``n`` (constant per
+  batch), so per-destination means never re-scatter counts.
 """
 
 from __future__ import annotations
@@ -31,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+from fastegnn_tpu.ops.spmm import CSRMeta, make_csr_meta
 
 
 @struct.dataclass
@@ -58,6 +66,12 @@ class GraphBatch:
     node_attr: Optional[jax.Array] = None   # [N, Fa] (charges etc.)
     virtual_fibonacci: Optional[jax.Array] = None  # [B, 3, C] VNEGNN virtual
     # positions (fibonacci sphere, ref datasets/protein/dataset.py:176-205)
+    dst_count: Optional[jax.Array] = None   # [N] real in-degree per node
+    # --- Pallas SpMM acceleration tables (host-precomputed; see ops/spmm) ---
+    csr_dst: Optional[CSRMeta] = None       # CSR blocks over dst-sorted edges
+    csr_src: Optional[CSRMeta] = None       # CSR blocks over src-sorted edges
+    src_perm: Optional[jax.Array] = None    # [E] permutation sorting by src
+    src_sorted: Optional[jax.Array] = None  # [E] = src[src_perm]
     # --- static metadata ---
     n_graphs: int = struct.field(pytree_node=False, default=1)
 
@@ -148,6 +162,9 @@ def batch_graphs(
     spec: GraphSpec,
     *,
     sort_edges: bool = True,
+    build_csr: bool = True,
+    edge_align: int = 1024,
+    csr_rows: int = 128,
 ) -> GraphBatch:
     """Concatenate padded single graphs into one packed ``GraphBatch``.
 
@@ -188,9 +205,12 @@ def batch_graphs(
         ]
     ).astype(np.int32)
 
+    total_nodes = b * spec.max_nodes
     dst = np.concatenate(
         [
-            np.where(g["edge_mask"], g["dst"] + i * spec.max_nodes, 0)
+            # padded edges -> out-of-range sentinel (sorts last; dropped by
+            # segment ops; never matches a Pallas row block)
+            np.where(g["edge_mask"], g["dst"] + i * spec.max_nodes, total_nodes)
             for i, g in enumerate(graphs)
         ]
     ).astype(np.int32)
@@ -205,6 +225,35 @@ def batch_graphs(
         order = np.argsort(dst, kind="stable")
         dst, src = dst[order], src[order]
         edge_attr, edge_mask = edge_attr[order], edge_mask[order]
+
+    # align total edge capacity to the Pallas chunk size so kernel DMA needs
+    # no extra copies; extra sentinel edges sort last and self-exclude
+    e_total = dst.shape[0]
+    e_aligned = ((e_total + edge_align - 1) // edge_align) * edge_align
+    if e_aligned != e_total:
+        extra = e_aligned - e_total
+        dst = np.concatenate([dst, np.full(extra, total_nodes, np.int32)])
+        src = np.concatenate([src, np.zeros(extra, np.int32)])
+        edge_attr = np.concatenate(
+            [edge_attr, np.zeros((extra, edge_attr.shape[1]), edge_attr.dtype)]
+        )
+        edge_mask = np.concatenate([edge_mask, np.zeros(extra, bool)])
+
+    dst_count = np.bincount(
+        dst[edge_mask], minlength=total_nodes + 1
+    )[:total_nodes].astype(np.float32)
+
+    csr_dst = csr_src = src_perm = src_sorted = None
+    if build_csr and sort_edges:
+        csr_dst = make_csr_meta(dst, total_nodes, rows=csr_rows, chunk=edge_align)
+        perm = np.argsort(
+            np.where(edge_mask, src, total_nodes), kind="stable"
+        ).astype(np.int32)
+        ssorted = np.where(edge_mask, src, total_nodes)[perm].astype(np.int32)
+        csr_src = make_csr_meta(ssorted, total_nodes, rows=csr_rows,
+                                chunk=edge_align)
+        src_perm = jnp.asarray(perm)
+        src_sorted = jnp.asarray(ssorted)
 
     # Virtual-node init: per-graph mean of real coords, repeated across C
     # channels (reference datasets/nbody/dataset.py:96).
@@ -232,5 +281,10 @@ def batch_graphs(
         coord_target=jnp.asarray(coord_target),
         loc_mean=jnp.asarray(loc_mean),
         node_attr=node_attr,
+        dst_count=jnp.asarray(dst_count),
+        csr_dst=csr_dst,
+        csr_src=csr_src,
+        src_perm=src_perm,
+        src_sorted=src_sorted,
         n_graphs=b,
     )

@@ -64,6 +64,7 @@ from fastegnn_tpu.ops.segment import (
     segment_mean,
     segment_sum,
 )
+from fastegnn_tpu.ops.spmm import gather_dst, gather_src, sorted_segment_sum_csr
 
 
 def _slice_rows(arr, start, size):
@@ -84,6 +85,9 @@ class EGCLVel(fnn.Module):
     epsilon: float = 1e-8
     shard_axis: Optional[str] = None   # mesh axis for graph parallelism
     shard_axis_size: int = 1
+    # MLP compute dtype ("bfloat16" halves every edge-stream byte; geometry,
+    # residual state, and all reductions stay float32)
+    compute_dtype: str = "float32"
 
     @fnn.compact
     def __call__(
@@ -122,22 +126,54 @@ class EGCLVel(fnn.Module):
         gravity_mlp = MLP([H, 1], name="gravity_mlp") if self.has_gravity else None
 
         # ---- sparse real<->real edge block (local edges) ----
-        coord_diff = x[dst] - x[src]                      # [E, 3]
+        use_pallas = graph.csr_dst is not None
+        if use_pallas:
+            # fused [h|x] gathers whose backward is the Pallas CSR scatter
+            hx = jnp.concatenate([h, x], axis=-1)         # [N, H+3]
+            hx_dst = gather_dst(hx, dst, graph.csr_dst)
+            hx_src = gather_src(
+                hx, src, graph.src_perm, graph.src_sorted, graph.csr_src
+            )
+            h_dst, x_dst = hx_dst[:, :H], hx_dst[:, H:]
+            h_src, x_src = hx_src[:, :H], hx_src[:, H:]
+        else:
+            h_dst, x_dst, h_src, x_src = h[dst], x[dst], h[src], x[src]
+        coord_diff = x_dst - x_src                        # [E, 3]
         radial = jnp.sum(coord_diff**2, axis=-1, keepdims=True)  # [E, 1]
         if self.normalize:
             norm = jax.lax.stop_gradient(jnp.sqrt(radial)) + self.epsilon
             coord_diff = coord_diff / norm
 
-        e_in = jnp.concatenate([h[dst], h[src], radial, graph.edge_attr], axis=-1)
-        m_e = edge_mlp(e_in)                              # [E, H]
+        cd = jnp.dtype(self.compute_dtype)
+        e_in = jnp.concatenate(
+            [h_dst, h_src, radial, graph.edge_attr], axis=-1
+        ).astype(cd)
+        m_e = edge_mlp(e_in)                              # [E, H] (cd)
         if self.attention:
             m_e = m_e * fnn.sigmoid(att_mlp(m_e))
-        trans = coord_diff * coord_mlp_r(m_e)             # [E, 3]
+        gate_r = coord_mlp_r(m_e).astype(jnp.float32)
+        trans = coord_diff * gate_r                       # [E, 3] f32
 
-        # partial segment reductions over all N rows
-        trans_sum = segment_sum(trans, dst, N, mask=emask, indices_are_sorted=True)
-        m_sum = segment_sum(m_e, dst, N, mask=emask, indices_are_sorted=True)
-        cnt = segment_count(dst, N, mask=emask, indices_are_sorted=True)
+        # fused per-edge reductions (one kernel pass over [m_e | trans]);
+        # accumulation is f32 regardless of compute dtype
+        if use_pallas:
+            combined = jnp.concatenate(
+                [m_e, trans.astype(cd)], axis=-1
+            )                                             # [E, H+3] (cd)
+            summed = sorted_segment_sum_csr(combined, dst, graph.csr_dst, N)
+            m_sum, trans_sum = summed[:, :H], summed[:, H:]
+        else:
+            trans_sum = segment_sum(
+                trans, dst, N, mask=emask, indices_are_sorted=True
+            )
+            m_sum = segment_sum(
+                m_e.astype(jnp.float32), dst, N, mask=emask,
+                indices_are_sorted=True,
+            )
+        if graph.dst_count is not None:
+            cnt = graph.dst_count
+        else:
+            cnt = segment_count(dst, N, mask=emask, indices_are_sorted=True)
 
         if ax is None:
             i0 = 0
@@ -172,32 +208,41 @@ class EGCLVel(fnn.Module):
         ev_in = jnp.concatenate(
             [jnp.broadcast_to(h_l[:, None, :], (n_loc, C, H)), vh_n, vrad, gram_n],
             axis=-1,
-        )
-        m_v = edge_mlp_virtual(ev_in)                     # [n_loc, C, H]
+        ).astype(cd)
+        m_v = edge_mlp_virtual(ev_in)                     # [n_loc, C, H] (cd)
         if self.attention:
             m_v = m_v * fnn.sigmoid(att_mlp_virtual(m_v))
+        m_v32 = m_v.astype(jnp.float32)
 
         # ---- coordinate update, owned real rows ----
         x_new_l = x_l + agg_x_l
-        x_new_l = x_new_l + jnp.mean(-vdiff * coord_mlp_r_virtual(m_v), axis=1)
-        x_new_l = x_new_l + coord_mlp_vel(h_l) * v_l
+        gate_xv = coord_mlp_r_virtual(m_v).astype(jnp.float32)
+        x_new_l = x_new_l + jnp.mean(-vdiff * gate_xv, axis=1)
+        x_new_l = x_new_l + coord_mlp_vel(h_l.astype(cd)).astype(jnp.float32) * v_l
         if self.has_gravity:
-            x_new_l = x_new_l + gravity_mlp(h_l) * gravity
+            x_new_l = x_new_l + (
+                gravity_mlp(h_l.astype(cd)).astype(jnp.float32) * gravity
+            )
 
         # ---- virtual updates (replicated outputs; pools psum over ax) ----
+        gate_X = coord_mlp_v_virtual(m_v).astype(jnp.float32)
         vx_new = vx + graph_mean_pool(
-            vdiff * coord_mlp_v_virtual(m_v), gid_l, n_graphs, nmask_l, axis=ax
+            vdiff * gate_X, gid_l, n_graphs, nmask_l, axis=ax
         )
-        pool_mv = graph_mean_pool(m_v, gid_l, n_graphs, nmask_l, axis=ax)  # [B,C,H]
-        dvh = node_mlp_virtual(jnp.concatenate([vh, pool_mv], axis=-1))
+        pool_mv = graph_mean_pool(m_v32, gid_l, n_graphs, nmask_l, axis=ax)
+        dvh = node_mlp_virtual(
+            jnp.concatenate([vh, pool_mv], axis=-1).astype(cd)
+        ).astype(jnp.float32)
         vh_new = vh + dvh if self.residual else dvh
 
         # ---- node feature update, owned rows ----
-        flat_mv = m_v.reshape(n_loc, C * H)  # [C,H]-order flatten (see module doc)
+        flat_mv = m_v32.reshape(n_loc, C * H)  # [C,H]-order flatten (see doc)
         h_parts = [h_l, agg_e_l, flat_mv]
         if na_l is not None:
             h_parts.append(na_l)
-        dh = node_mlp(jnp.concatenate(h_parts, axis=-1))
+        dh = node_mlp(
+            jnp.concatenate(h_parts, axis=-1).astype(cd)
+        ).astype(jnp.float32)
         h_new_l = h_l + dh if self.residual else dh
 
         if ax is None:
@@ -227,6 +272,7 @@ class FastEGNN(fnn.Module):
     use_node_attr: bool = False
     shard_axis: Optional[str] = None
     shard_axis_size: int = 1
+    compute_dtype: str = "float32"
 
     @fnn.compact
     def __call__(self, graph: GraphBatch) -> Tuple[jax.Array, jax.Array]:
@@ -259,6 +305,7 @@ class FastEGNN(fnn.Module):
                 has_gravity=self.gravity is not None,
                 shard_axis=self.shard_axis,
                 shard_axis_size=self.shard_axis_size,
+                compute_dtype=self.compute_dtype,
                 name=f"gcl_{i}",
             )(h, x, v, vx, vh, graph, gravity=g, node_attr=node_attr)
 

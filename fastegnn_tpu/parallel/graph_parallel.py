@@ -57,6 +57,41 @@ def shard_graph_batch(batch: GraphBatch, n_shards: int) -> GraphBatch:
     for opt in ["node_attr", "virtual_fibonacci"]:
         val = getattr(batch, opt)
         kwargs[opt] = None if val is None else stack(opt, val)
+    # per-shard partial in-degrees (summed to the global count by the layer's
+    # reduce-scatter)
+    N = batch.num_nodes
+    dst_np = np.asarray(batch.dst)
+    src_np = np.asarray(batch.src)
+    mask_np = np.asarray(batch.edge_mask)
+    if batch.dst_count is not None:
+        parts = []
+        for i in range(n_shards):
+            sl = slice(i * e_loc, (i + 1) * e_loc)
+            parts.append(
+                np.bincount(
+                    dst_np[sl][mask_np[sl]], minlength=N + 1
+                )[:N].astype(np.float32)
+            )
+        kwargs["dst_count"] = jnp.asarray(np.stack(parts))
+    # per-shard Pallas CSR tables (local edge slices stay dst-sorted)
+    if batch.csr_dst is not None and e_loc % batch.csr_dst.chunk == 0:
+        from fastegnn_tpu.ops.spmm import make_csr_meta
+
+        rows, chunk = batch.csr_dst.rows, batch.csr_dst.chunk
+        metas_d, metas_s, perms, ssorts = [], [], [], []
+        for i in range(n_shards):
+            sl = slice(i * e_loc, (i + 1) * e_loc)
+            metas_d.append(make_csr_meta(dst_np[sl], N, rows, chunk))
+            masked_src = np.where(mask_np[sl], src_np[sl], N)
+            perm = np.argsort(masked_src, kind="stable").astype(np.int32)
+            ssort = masked_src[perm].astype(np.int32)
+            metas_s.append(make_csr_meta(ssort, N, rows, chunk))
+            perms.append(perm)
+            ssorts.append(ssort)
+        kwargs["csr_dst"] = jax.tree.map(lambda *xs: jnp.stack(xs), *metas_d)
+        kwargs["csr_src"] = jax.tree.map(lambda *xs: jnp.stack(xs), *metas_s)
+        kwargs["src_perm"] = jnp.asarray(np.stack(perms))
+        kwargs["src_sorted"] = jnp.asarray(np.stack(ssorts))
     return GraphBatch(n_graphs=batch.n_graphs, **kwargs)
 
 
