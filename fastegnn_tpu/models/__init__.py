@@ -11,6 +11,12 @@ from fastegnn_tpu.models.fast_rf import FastRF, RFGCLVel
 from fastegnn_tpu.models.vnegnn import VNEGNN
 from fastegnn_tpu.models.schnet import SchNet, FastSchNet, SchNetGCL, SchNetCore
 from fastegnn_tpu.models.gvp import GVPNet, GVPCell, GVPConvolution
+from fastegnn_tpu.models.dimenet import (
+    DimeNet,
+    DimeNetPlusPlus,
+    TripletDataset,
+    build_triplets,
+)
 from fastegnn_tpu.models.basic import (
     EGNN,
     GNN,
@@ -36,6 +42,10 @@ MODEL_REGISTRY = {
     "MLP": FullMLP,
     "SchNet": SchNet,
     "GVP": GVPNet,
+    # NOTE: DimeNet/DimeNet++ take (graph, triplets); wrap the dataset with
+    # TripletDataset and drive them with a custom step (see models/dimenet.py)
+    "DimeNet": DimeNet,
+    "DimeNet++": DimeNetPlusPlus,
 }
 
 # Models whose training loss includes the MMD virtual-node term
@@ -45,7 +55,7 @@ MMD_MODELS = {"FastEGNN", "FastRF", "FastTFN", "FastSchNet"}
 # Constructor kwargs each model accepts (the CLI filters its arg set by this).
 _GEOMETRIC_KW = {"hidden", "n_layers", "attention", "normalize", "tanh"}
 MODEL_KWARGS = {
-    "FastEGNN": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
+    "FastEGNN": _GEOMETRIC_KW | {"virtual_channels", "gravity", "compute_dtype"},
     "FastRF": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
     "FastSchNet": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
     "VNEGNN": _GEOMETRIC_KW | {"virtual_channels"},

@@ -93,7 +93,10 @@ def test_gnn_runs_and_is_not_equivariant(name):
     assert not np.allclose(np.asarray(x1), np.asarray(x0) @ R, atol=1e-3)
 
 
-@pytest.mark.parametrize("name", sorted(set(MODEL_REGISTRY) - {"MLP"}))
+# DimeNet takes (graph, triplets) — covered by tests/test_dimenet.py
+@pytest.mark.parametrize(
+    "name", sorted(set(MODEL_REGISTRY) - {"MLP", "DimeNet", "DimeNet++"})
+)
 def test_forward_shapes_and_finite(name):
     rng = np.random.default_rng(7)
     graph, _, _ = make_batch(rng, n_graphs=2, n_nodes=6)
