@@ -17,6 +17,14 @@ from fastegnn_tpu.models.dimenet import (
     TripletDataset,
     build_triplets,
 )
+from fastegnn_tpu.models.tfn import (
+    FastTFN,
+    OurDynamics,
+    OursTFN,
+    OurSE3Transformer,
+    SE3Transformer,
+    TFN as TFNPooled,
+)
 from fastegnn_tpu.models.basic import (
     EGNN,
     GNN,
@@ -34,6 +42,10 @@ MODEL_REGISTRY = {
     "FastEGNN": FastEGNN,
     "FastRF": FastRF,
     "FastSchNet": FastSchNet,
+    "FastTFN": FastTFN,
+    # reference CLI name "TFN" builds the OurDynamics(model='tfn') wrapper
+    # (main_nbody.py:117-120)
+    "TFN": OurDynamics,
     "VNEGNN": VNEGNN,
     "EGNN": EGNN,
     "GNN": GNN,
@@ -58,6 +70,8 @@ MODEL_KWARGS = {
     "FastEGNN": _GEOMETRIC_KW | {"virtual_channels", "gravity", "compute_dtype"},
     "FastRF": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
     "FastSchNet": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
+    "FastTFN": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
+    "TFN": {"nf", "n_layers", "num_degrees", "div"},
     "VNEGNN": _GEOMETRIC_KW | {"virtual_channels"},
     "EGNN": {"hidden", "n_layers"},
     "GNN": {"hidden", "n_layers"},
