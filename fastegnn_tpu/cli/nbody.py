@@ -84,7 +84,9 @@ def main(argv=None):
         tanh=args.tanh_required,
     )
     example = dataset_train.collate(list(range(min(args.batch_size, len(dataset_train)))))
-    params = model.init(jax.random.key(args.seed), example)["params"]
+    # jitted init: eager init pays a device round-trip per op (slow on
+    # tunneled TPU backends)
+    params = jax.jit(model.init)(jax.random.key(args.seed), example)["params"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"Number of parameters: {n_params}")
 

@@ -17,6 +17,7 @@ from fastegnn_tpu.models.dimenet import (
     TripletDataset,
     build_triplets,
 )
+from fastegnn_tpu.models.eghn import EGHN, PoolingLayer, PoolingNet
 from fastegnn_tpu.models.tfn import (
     FastTFN,
     OurDynamics,
@@ -43,6 +44,8 @@ MODEL_REGISTRY = {
     "FastRF": FastRF,
     "FastSchNet": FastSchNet,
     "FastTFN": FastTFN,
+    # EGHN takes (graph, local bond edges); see models/eghn.py
+    "EGHN": EGHN,
     # reference CLI name "TFN" builds the OurDynamics(model='tfn') wrapper
     # (main_nbody.py:117-120)
     "TFN": OurDynamics,
@@ -72,6 +75,7 @@ MODEL_KWARGS = {
     "FastSchNet": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
     "FastTFN": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
     "TFN": {"nf", "n_layers", "num_degrees", "div"},
+    "EGHN": {"hidden", "n_cluster", "layer_per_block", "layer_pooling", "layer_decoder"},
     "VNEGNN": _GEOMETRIC_KW | {"virtual_channels"},
     "EGNN": {"hidden", "n_layers"},
     "GNN": {"hidden", "n_layers"},

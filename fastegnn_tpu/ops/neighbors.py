@@ -48,6 +48,14 @@ def cutoff_edges_np(loc: np.ndarray, cutoff_rate: float) -> Tuple[np.ndarray, np
     return dst, src
 
 
+def radius_graph(loc: np.ndarray, r: float) -> Tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs strictly within radius ``r`` — native cell-list C++
+    kernel (fastegnn_tpu.native) with KD-tree fallback."""
+    from fastegnn_tpu import native
+
+    return native.radius_graph(loc, r)
+
+
 def radius_graph_np(loc: np.ndarray, r: float) -> Tuple[np.ndarray, np.ndarray]:
     """All ordered pairs strictly within radius ``r`` (no self loops).
 

@@ -93,9 +93,11 @@ def test_gnn_runs_and_is_not_equivariant(name):
     assert not np.allclose(np.asarray(x1), np.asarray(x0) @ R, atol=1e-3)
 
 
-# DimeNet takes (graph, triplets) — covered by tests/test_dimenet.py
+# DimeNet takes (graph, triplets) — covered by tests/test_dimenet.py;
+# EGHN takes (graph, local bond edges) — covered by tests/test_eghn.py
 @pytest.mark.parametrize(
-    "name", sorted(set(MODEL_REGISTRY) - {"MLP", "DimeNet", "DimeNet++"})
+    "name",
+    sorted(set(MODEL_REGISTRY) - {"MLP", "DimeNet", "DimeNet++", "EGHN"}),
 )
 def test_forward_shapes_and_finite(name):
     rng = np.random.default_rng(7)

@@ -1,0 +1,52 @@
+"""Native C++ graph kernels vs python oracles (skip if toolchain missing)."""
+
+import numpy as np
+import pytest
+
+from fastegnn_tpu import native
+from fastegnn_tpu.ops.neighbors import radius_graph_np
+
+
+def _edge_set(dst, src):
+    return set(zip(dst.tolist(), src.tolist()))
+
+
+def test_radius_graph_matches_kdtree():
+    rng = np.random.default_rng(0)
+    loc = rng.random((300, 3)).astype(np.float32)
+    r = 0.15
+    nd, ns = native.radius_graph(loc, r)
+    kd, ks = radius_graph_np(loc, r)
+    assert _edge_set(nd, ns) == _edge_set(kd, ks)
+
+
+def test_radius_graph_no_self_loops_and_symmetric():
+    rng = np.random.default_rng(1)
+    loc = rng.normal(size=(100, 3)).astype(np.float32)
+    nd, ns = native.radius_graph(loc, 1.0)
+    assert (nd != ns).all()
+    es = _edge_set(nd, ns)
+    assert all((b, a) in es for a, b in es)
+
+
+def test_argsort_and_bincount():
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 50, 1000).astype(np.int32)
+    perm = native.argsort_i32(keys)
+    assert (keys[perm] == np.sort(keys)).all()
+    counts = native.bincount_f32(keys, 50)
+    np.testing.assert_array_equal(counts, np.bincount(keys, minlength=50))
+
+
+def test_bincount_drops_out_of_range():
+    keys = np.array([0, 1, 5, 99, -1], np.int32)
+    counts = native.bincount_f32(keys, 6)
+    assert counts.sum() == 3.0
+
+
+def test_native_available_or_fallback():
+    # either path must work end to end
+    rng = np.random.default_rng(3)
+    loc = rng.random((50, 3)).astype(np.float32)
+    d, s = native.radius_graph(loc, 0.3)
+    assert d.dtype == np.int32 and len(d) == len(s)
