@@ -135,6 +135,20 @@ def main():
     float(metrics["mse"])  # sync the whole chain
     dt = max(time.perf_counter() - t0 - overhead, 1e-9) / n_iters
 
+    # secondary: fused-kernel inference forward (ops/fused_edge.py shares the
+    # param tree, so the same params drive it)
+    model_f = FastEGNN(
+        hidden=HIDDEN, virtual_channels=C, n_layers=LAYERS,
+        gravity=(0.0, -1.0, 0.0), compute_dtype="bfloat16", fuse_edge=True,
+    )
+    fwd_fused = jax.jit(lambda p, g: model_f.apply({"params": p}, g)[0])
+    r = fwd_fused(state.params, batch); float(jnp.sum(r))
+    t0 = time.perf_counter()
+    for _ in range(50):
+        r = fwd_fused(state.params, batch)
+    float(jnp.sum(r))
+    fwd_ms = max(time.perf_counter() - t0 - overhead, 1e-9) / 50 * 1e3
+
     n_pad_edges = batch.num_edges
     edges_per_s = n_pad_edges * LAYERS / dt
     sol = sol_step_time(n_pad_edges, N_NODES, 1, HIDDEN, C, LAYERS)
@@ -147,6 +161,7 @@ def main():
                 "vs_baseline": round(sol / dt, 4),
                 "detail": {
                     "step_ms": round(dt * 1e3, 3),
+                    "fwd_fused_ms": round(fwd_ms, 3),
                     "sol_ms": round(sol * 1e3, 3),
                     "nodes": N_NODES,
                     "edges_padded": n_pad_edges,

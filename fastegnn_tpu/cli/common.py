@@ -28,6 +28,8 @@ def add_common_args(p: argparse.ArgumentParser, *, sigma: float, weight: float,
     p.add_argument("--sample", type=int, default=3)
     p.add_argument("--max_epochs", type=int, default=1_000_000)
     p.add_argument("--ckpt_directory", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path to resume from")
     p.add_argument("--test_interval", type=int, default=5)
     p.add_argument("--cutoff_rate", type=float, default=cutoff_rate)
     p.add_argument("--virtual_channel", type=int, required=True)
@@ -78,6 +80,7 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
         early_stop=args.early_stop, max_epochs=args.max_epochs,
         seed=args.seed, log_directory=args.log_directory, log_name=log_name,
         ckpt_directory=args.ckpt_directory,
+        resume_from=args.resume,
     )
     print(json.dumps(best, indent=2))
     return best

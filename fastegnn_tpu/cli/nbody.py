@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_epochs", type=int, default=1_000_000)
     p.add_argument("--log_directory", type=str, default="./logs/nbody")
     p.add_argument("--ckpt_directory", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path to resume from")
     p.add_argument("--test_interval", type=int, default=5)
     p.add_argument("--cutoff_rate", type=float, default=0.25)
     p.add_argument("--virtual_channel", type=int, required=True)
@@ -113,6 +115,7 @@ def main(argv=None):
         log_directory=args.log_directory,
         log_name=log_name,
         ckpt_directory=args.ckpt_directory,
+        resume_from=args.resume,
     )
     print(json.dumps(best, indent=2))
     return best

@@ -85,6 +85,10 @@ class EGCLVel(fnn.Module):
     epsilon: float = 1e-8
     shard_axis: Optional[str] = None   # mesh axis for graph parallelism
     shard_axis_size: int = 1
+    # Fused Pallas edge-block kernel (ops/fused_edge.py): 2.7x faster
+    # *forward*; backward currently recomputes the unfused path, so training
+    # is faster with this off. Turn on for inference/eval-heavy use.
+    fuse_edge: bool = False
     # MLP compute dtype ("bfloat16" halves every edge-stream byte; geometry,
     # residual state, and all reductions stay float32)
     compute_dtype: str = "float32"
@@ -113,9 +117,25 @@ class EGCLVel(fnn.Module):
         n_loc = N // G
 
         # ---- submodules (named once; identical param tree for both paths) ----
-        edge_mlp = MLP([H, H], act_final=True, name="edge_mlp")
+        # edge-path Linears are declared individually so the fused Pallas
+        # kernel can extract raw weights (differentiably, identity trick)
+        e_lin0 = Linear(H, name="edge_mlp_lin0")
+        e_lin1 = Linear(H, name="edge_mlp_lin1")
+        r_lin0 = Linear(H, name="coord_mlp_r_lin0")
+        from fastegnn_tpu.models.nn import xavier_uniform_gain
+
+        r_head = Linear(1, use_bias=False,
+                        kernel_init=xavier_uniform_gain(0.001),
+                        name="coord_mlp_r_head")
+
+        def edge_mlp(z):
+            return fnn.silu(e_lin1(fnn.silu(e_lin0(z))))
+
+        def coord_mlp_r(z):
+            g = r_head(fnn.silu(r_lin0(z)))
+            return jnp.tanh(g) if self.tanh else g
+
         edge_mlp_virtual = MLP([H, H], act_final=True, name="edge_mlp_virtual")
-        coord_mlp_r = CoordMLP(H, tanh=self.tanh, name="coord_mlp_r")
         coord_mlp_r_virtual = CoordMLP(H, tanh=self.tanh, name="coord_mlp_r_virtual")
         coord_mlp_v_virtual = CoordMLP(H, tanh=self.tanh, name="coord_mlp_v_virtual")
         coord_mlp_vel = MLP([H, 1], name="coord_mlp_vel")
@@ -127,53 +147,115 @@ class EGCLVel(fnn.Module):
 
         # ---- sparse real<->real edge block (local edges) ----
         use_pallas = graph.csr_dst is not None
-        if use_pallas:
-            # fused [h|x] gathers whose backward is the Pallas CSR scatter
-            hx = jnp.concatenate([h, x], axis=-1)         # [N, H+3]
-            hx_dst = gather_dst(hx, dst, graph.csr_dst)
-            hx_src = gather_src(
-                hx, src, graph.src_perm, graph.src_sorted, graph.csr_src
-            )
-            h_dst, x_dst = hx_dst[:, :H], hx_dst[:, H:]
-            h_src, x_src = hx_src[:, :H], hx_src[:, H:]
-        else:
-            h_dst, x_dst, h_src, x_src = h[dst], x[dst], h[src], x[src]
-        coord_diff = x_dst - x_src                        # [E, 3]
-        radial = jnp.sum(coord_diff**2, axis=-1, keepdims=True)  # [E, 1]
-        if self.normalize:
-            norm = jax.lax.stop_gradient(jnp.sqrt(radial)) + self.epsilon
-            coord_diff = coord_diff / norm
-
         cd = jnp.dtype(self.compute_dtype)
-        e_in = jnp.concatenate(
-            [h_dst, h_src, radial, graph.edge_attr], axis=-1
-        ).astype(cd)
-        m_e = edge_mlp(e_in)                              # [E, H] (cd)
-        if self.attention:
-            m_e = m_e * fnn.sigmoid(att_mlp(m_e))
-        gate_r = coord_mlp_r(m_e).astype(jnp.float32)
-        trans = coord_diff * gate_r                       # [E, 3] f32
+        use_fused = (
+            use_pallas
+            and self.fuse_edge
+            and not self.attention
+            and not self.normalize
+            and not self.tanh
+            and self.coords_agg == "mean"
+        )
+        if use_fused:
+            from fastegnn_tpu.ops.fused_edge import fused_edge_block
+            from fastegnn_tpu.ops.spmm import (
+                gather_dst as _gdst,
+                gather_src as _gsrc,
+                sorted_segment_sum_csr as _sssc,
+            )
 
-        # fused per-edge reductions (one kernel pass over [m_e | trans]);
-        # accumulation is f32 regardless of compute dtype
-        if use_pallas:
-            combined = jnp.concatenate(
-                [m_e, trans.astype(cd)], axis=-1
-            )                                             # [E, H+3] (cd)
-            summed = sorted_segment_sum_csr(combined, dst, graph.csr_dst, N)
-            m_sum, trans_sum = summed[:, :H], summed[:, H:]
-        else:
-            trans_sum = segment_sum(
-                trans, dst, N, mask=emask, indices_are_sorted=True
+            ein_dim = 2 * H + 1 + graph.edge_attr.shape[1]
+            eyeE = jnp.eye(ein_dim, dtype=jnp.float32)
+            eyeH = jnp.eye(H, dtype=jnp.float32)
+            # identity-trick extraction: differentiable raw weights
+            b1 = e_lin0(jnp.zeros((1, ein_dim)))[0]
+            W1 = e_lin0(eyeE) - b1
+            b2 = e_lin1(jnp.zeros((1, H)))[0]
+            W2 = e_lin1(eyeH) - b2
+            bg1 = r_lin0(jnp.zeros((1, H)))[0]
+            Wg1 = r_lin0(eyeH) - bg1
+            wg2 = r_head(eyeH)  # no bias
+
+            meta = graph.csr_dst
+
+            def _unfused(h_, x_, W1_, b1_, W2_, b2_, Wg1_, bg1_, wg2_):
+                hx_ = jnp.concatenate([h_, x_], axis=-1)
+                hd = _gdst(hx_, dst, meta)
+                hs = _gsrc(hx_, src, graph.src_perm, graph.src_sorted,
+                           graph.csr_src)
+                diff = hd[:, H:] - hs[:, H:]
+                rad = jnp.sum(diff**2, axis=-1, keepdims=True)
+                ein = jnp.concatenate(
+                    [hd[:, :H], hs[:, :H], rad, graph.edge_attr], axis=-1
+                ).astype(cd)
+                mm = fnn.silu(ein @ W1_.astype(cd) + b1_.astype(cd))
+                mm = fnn.silu(mm @ W2_.astype(cd) + b2_.astype(cd))
+                gg = fnn.silu(mm @ Wg1_.astype(cd) + bg1_.astype(cd))
+                gate = (gg @ wg2_.astype(cd)).astype(jnp.float32)
+                tr = diff * gate
+                comb = jnp.concatenate([mm, tr.astype(cd)], axis=-1)
+                summed = _sssc(comb, dst, meta, N)
+                return summed[:, :H], summed[:, H:]
+
+            m_sum, trans_sum = fused_edge_block(
+                h, x, graph, W1, b1, W2, b2, Wg1, bg1, wg2, _unfused,
+                compute_dtype=cd,
             )
-            m_sum = segment_sum(
-                m_e.astype(jnp.float32), dst, N, mask=emask,
-                indices_are_sorted=True,
-            )
-        if graph.dst_count is not None:
-            cnt = graph.dst_count
+            if graph.dst_count is not None:
+                cnt = graph.dst_count
+            else:
+                cnt = segment_count(dst, N, mask=emask, indices_are_sorted=True)
         else:
-            cnt = segment_count(dst, N, mask=emask, indices_are_sorted=True)
+            if use_pallas:
+                # fused [h|x] gathers; backward is the Pallas CSR scatter
+                hx = jnp.concatenate([h, x], axis=-1)     # [N, H+3]
+                hx_dst = gather_dst(hx, dst, graph.csr_dst)
+                hx_src = gather_src(
+                    hx, src, graph.src_perm, graph.src_sorted, graph.csr_src
+                )
+                h_dst, x_dst = hx_dst[:, :H], hx_dst[:, H:]
+                h_src, x_src = hx_src[:, :H], hx_src[:, H:]
+            else:
+                h_dst, x_dst, h_src, x_src = h[dst], x[dst], h[src], x[src]
+            coord_diff = x_dst - x_src                    # [E, 3]
+            radial = jnp.sum(coord_diff**2, axis=-1, keepdims=True)  # [E, 1]
+            if self.normalize:
+                norm = jax.lax.stop_gradient(jnp.sqrt(radial)) + self.epsilon
+                coord_diff = coord_diff / norm
+
+            e_in = jnp.concatenate(
+                [h_dst, h_src, radial, graph.edge_attr], axis=-1
+            ).astype(cd)
+            m_e = edge_mlp(e_in)                          # [E, H] (cd)
+            if self.attention:
+                m_e = m_e * fnn.sigmoid(att_mlp(m_e))
+            gate_r = coord_mlp_r(m_e).astype(jnp.float32)
+            trans = coord_diff * gate_r                   # [E, 3] f32
+
+            # per-edge reductions (one kernel pass over [m_e | trans]);
+            # accumulation is f32 regardless of compute dtype
+            if use_pallas:
+                combined = jnp.concatenate(
+                    [m_e, trans.astype(cd)], axis=-1
+                )                                         # [E, H+3] (cd)
+                summed = sorted_segment_sum_csr(
+                    combined, dst, graph.csr_dst, N
+                )
+                m_sum, trans_sum = summed[:, :H], summed[:, H:]
+            else:
+                trans_sum = segment_sum(
+                    trans, dst, N, mask=emask, indices_are_sorted=True
+                )
+                m_sum = segment_sum(
+                    m_e.astype(jnp.float32), dst, N, mask=emask,
+                    indices_are_sorted=True,
+                )
+            if graph.dst_count is not None:
+                cnt = graph.dst_count
+            else:
+                cnt = segment_count(
+                    dst, N, mask=emask, indices_are_sorted=True
+                )
 
         if ax is None:
             i0 = 0
@@ -272,6 +354,7 @@ class FastEGNN(fnn.Module):
     use_node_attr: bool = False
     shard_axis: Optional[str] = None
     shard_axis_size: int = 1
+    fuse_edge: bool = False
     compute_dtype: str = "float32"
 
     @fnn.compact
@@ -305,6 +388,7 @@ class FastEGNN(fnn.Module):
                 has_gravity=self.gravity is not None,
                 shard_axis=self.shard_axis,
                 shard_axis_size=self.shard_axis_size,
+                fuse_edge=self.fuse_edge,
                 compute_dtype=self.compute_dtype,
                 name=f"gcl_{i}",
             )(h, x, v, vx, vh, graph, gravity=g, node_attr=node_attr)

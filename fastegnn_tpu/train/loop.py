@@ -65,9 +65,15 @@ def train(
     log_directory: Optional[str] = None,
     log_name: str = "train_log.json",
     ckpt_directory: Optional[str] = None,
+    resume_from: Optional[str] = None,
     verbose: bool = True,
 ):
-    """Returns ``(best_log_dict, log_dict, final_state)``."""
+    """Returns ``(best_log_dict, log_dict, final_state)``.
+
+    ``resume_from``: path of a checkpoint saved by this loop; restores
+    params + optimizer state + step + epoch and continues (a capability the
+    reference lacks — it only saves best params, ``utils/train.py:197-208``).
+    """
     train_step = make_train_step(
         model, tx, sigma, weight, sample, per_graph_sampling, use_mmd
     )
@@ -81,7 +87,24 @@ def train(
     best = {"epoch_index": 0, "loss_valid": 1e8, "loss_test": 1e8, "loss_train": 1e8}
     start = time.perf_counter()
 
-    for epoch in range(1, max_epochs + 1):
+    start_epoch = 1
+    if resume_from is not None:
+        from fastegnn_tpu.train.checkpoint import restore_checkpoint
+
+        ck = restore_checkpoint(
+            resume_from,
+            target={"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step, "epoch": 0},
+        )
+        state = state.replace(
+            params=ck["params"], opt_state=ck["opt_state"], step=ck["step"]
+        )
+        start_epoch = int(ck.get("epoch", 0)) + 1
+        if verbose:
+            print(f"resumed from {resume_from} at epoch {start_epoch}",
+                  flush=True)
+
+    for epoch in range(start_epoch, max_epochs + 1):
         state, loss_train = _run_epoch_train(
             train_step, state, dataset_train, batch_size, key, epoch, shuffle_rng
         )
@@ -116,7 +139,7 @@ def train(
                     save_checkpoint(
                         os.path.join(ckpt_directory, "best"),
                         {"params": state.params, "opt_state": state.opt_state,
-                         "step": state.step},
+                         "step": state.step, "epoch": epoch},
                     )
             if verbose:
                 print(

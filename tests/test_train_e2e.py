@@ -66,7 +66,7 @@ def test_train_loss_decreases(tiny_data, tmp_path):
     ck = restore_checkpoint(
         str(tmp_path / "ckpt" / "best"),
         target={"params": state.params, "opt_state": state.opt_state,
-                "step": state.step},
+                "step": state.step, "epoch": 0},
     )
     flat_saved = jax.tree.leaves(ck["params"])
     assert all(np.isfinite(np.asarray(x)).all() for x in flat_saved)
@@ -104,3 +104,29 @@ def test_train_step_jit_cache(tiny_data):
     for b in batches[1:]:
         state, _ = step(state, b, jax.random.key(1))
     assert step._cache_size() == compiled_before == 1
+
+
+def test_resume_from_checkpoint(tiny_data, tmp_path):
+    """Save at epoch K, resume, epochs continue from K+1 with restored state."""
+    path, name = tiny_data
+    dtr, dva, dte = _datasets(path, name)
+    model = FastEGNN(hidden=16, virtual_channels=3, n_layers=1)
+    params = model.init(jax.random.key(0), dtr.collate([0, 1]))["params"]
+    tx = torch_adam(1e-3)
+    state = TrainState.create(params, tx)
+    best1, log1, state1 = train(
+        model, state, tx, dtr, dva, dte,
+        batch_size=4, sigma=1.5, weight=0.01,
+        test_interval=2, max_epochs=4, seed=43,
+        ckpt_directory=str(tmp_path / "ck"), verbose=False,
+    )
+    state2 = TrainState.create(params, tx)
+    best2, log2, state2 = train(
+        model, state2, tx, dtr, dva, dte,
+        batch_size=4, sigma=1.5, weight=0.01,
+        test_interval=2, max_epochs=6, seed=43,
+        resume_from=str(tmp_path / "ck" / "best"), verbose=False,
+    )
+    # resumed run trains only the remaining epochs
+    assert len(log2["loss_train"]) < 6
+    assert np.isfinite(best2["loss_valid"])
