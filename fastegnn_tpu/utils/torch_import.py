@@ -1,0 +1,122 @@
+"""Import reference PyTorch FastEGNN ``state_dict`` weights into our params.
+
+The parity criterion (BASELINE.md): load the reference checkpoint, map
+parameters, and match per-layer activations.  Key layout of the reference
+(``models/FastEGNN.py``):
+
+    embedding_in.weight/bias
+    virtual_node_feat                      [1, H, C]
+    gcl_{i}.edge_mlp.{0,2}.weight/bias     Linear(2H+1+Fe -> H), Linear(H -> H)
+    gcl_{i}.edge_mlp_virtual.{0,2}...      Linear(2H+1+C -> H), Linear(H -> H)
+    gcl_{i}.coord_mlp_r.{0}.w/b, {2}.w     Linear(H->H), Linear(H->1, no bias)
+    gcl_{i}.coord_mlp_r_virtual.{0,2}      same
+    gcl_{i}.coord_mlp_v_virtual.{0,2}      same
+    gcl_{i}.coord_mlp_vel.{0,2}.w/b        Linear(H->H), Linear(H->1)
+    gcl_{i}.gravity_mlp.{0,2}.w/b          (when gravity set)
+    gcl_{i}.node_mlp.{0,2}.w/b             Linear(2H + C*H (+attr) -> H), ...
+    gcl_{i}.node_mlp_virtual.{0,2}.w/b     Linear(2H -> H), Linear(H -> H)
+
+Layout conversions:
+- torch Linear stores ``weight [out, in]``; flax kernels are ``[in, out]``.
+- our virtual tensors are channel-major: ``virtual_node_feat`` transposes
+  [1, H, C] -> [1, C, H].
+- the node MLP's flattened virtual-message block is [H, C]-ordered in the
+  reference (``models/FastEGNN.py:157``) but [C, H]-ordered here — the
+  corresponding *input columns* of ``node_mlp.0.weight`` are permuted.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def _linear(sd, prefix, bias=True):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if bias:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def params_from_reference_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    n_layers: int = 4,
+    hidden: int = 64,
+    virtual_channels: int = 3,
+    has_gravity: bool = False,
+) -> dict:
+    """Build a flax params dict for :class:`~fastegnn_tpu.models.FastEGNN`."""
+    sd = state_dict
+    H, C = hidden, virtual_channels
+
+    params: dict = {
+        "embedding_in": _linear(sd, "embedding_in"),
+        # [1, H, C] -> [1, C, H]
+        "virtual_node_feat": np.transpose(
+            _np(sd["virtual_node_feat"]), (0, 2, 1)
+        ),
+    }
+
+    # input-column permutation for node_mlp.0: virtual block [H, C]-flat ->
+    # [C, H]-flat (reference models/FastEGNN.py:157 vs our layer docstring)
+    def permute_node_mlp_kernel(K):
+        # K: [in, out]; in = H + H + C*H (+ attr, which the reference never
+        # uses for FastEGNN)
+        base = 2 * H
+        virt = K[base : base + C * H]
+        # reference row order: (h_idx, c) flattened h-major ->
+        # ours: (c, h_idx) flattened c-major
+        virt = virt.reshape(H, C, -1).transpose(1, 0, 2).reshape(C * H, -1)
+        return np.concatenate([K[:base], virt, K[base + C * H :]], axis=0)
+
+    for i in range(n_layers):
+        g = f"gcl_{i}"
+        node0 = _linear(sd, f"{g}.node_mlp.0")
+        node0["kernel"] = permute_node_mlp_kernel(node0["kernel"])
+        layer = {
+            "edge_mlp_lin0": _linear(sd, f"{g}.edge_mlp.0"),
+            "edge_mlp_lin1": _linear(sd, f"{g}.edge_mlp.2"),
+            "edge_mlp_virtual": {
+                "lin0": _linear(sd, f"{g}.edge_mlp_virtual.0"),
+                "lin1": _linear(sd, f"{g}.edge_mlp_virtual.2"),
+            },
+            "coord_mlp_r_lin0": _linear(sd, f"{g}.coord_mlp_r.0"),
+            "coord_mlp_r_head": _linear(sd, f"{g}.coord_mlp_r.2", bias=False),
+            "coord_mlp_r_virtual": {
+                "lin0": _linear(sd, f"{g}.coord_mlp_r_virtual.0"),
+                "head": _linear(sd, f"{g}.coord_mlp_r_virtual.2", bias=False),
+            },
+            "coord_mlp_v_virtual": {
+                "lin0": _linear(sd, f"{g}.coord_mlp_v_virtual.0"),
+                "head": _linear(sd, f"{g}.coord_mlp_v_virtual.2", bias=False),
+            },
+            "coord_mlp_vel": {
+                "lin0": _linear(sd, f"{g}.coord_mlp_vel.0"),
+                "lin1": _linear(sd, f"{g}.coord_mlp_vel.2"),
+            },
+            "node_mlp": {
+                "lin0": node0,
+                "lin1": _linear(sd, f"{g}.node_mlp.2"),
+            },
+            "node_mlp_virtual": {
+                "lin0": _linear(sd, f"{g}.node_mlp_virtual.0"),
+                "lin1": _linear(sd, f"{g}.node_mlp_virtual.2"),
+            },
+        }
+        if has_gravity:
+            layer["gravity_mlp"] = {
+                "lin0": _linear(sd, f"{g}.gravity_mlp.0"),
+                "lin1": _linear(sd, f"{g}.gravity_mlp.2"),
+            }
+        params[g] = layer
+
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
