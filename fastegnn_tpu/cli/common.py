@@ -63,9 +63,32 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
     example = dataset_train.collate(
         list(range(min(args.batch_size, len(dataset_train))))
     )
+    apply_fn = None
+    init_args = (example,)
+    if args.model == "EGHN":
+        # EGHN consumes the bond graph as pooling edges (reference
+        # utils/train.py:69-79); prediction = x_out; the auxiliary cut_loss
+        # is computed but, like the reference, not added to the training
+        # loss (basic.py:672 stores it unused).
+        if example.local_dst is None:
+            raise ValueError(
+                "EGHN needs local bond edges: construct the dataset with "
+                "with_local_edges=True"
+            )
+
+        def apply_fn(params, batch):
+            g = batch[0] if isinstance(batch, tuple) else batch
+            x_out, _h, _cut = model.apply(
+                {"params": params}, g, g.local_dst, g.local_src,
+                g.local_edge_attr, g.local_edge_mask,
+            )
+            return x_out
+
+        init_args = (example, example.local_dst, example.local_src,
+                     example.local_edge_attr, example.local_edge_mask)
     # jitted init: eager init pays a device round-trip per op (slow on
     # tunneled TPU backends)
-    params = jax.jit(model.init)(jax.random.key(args.seed), example)["params"]
+    params = jax.jit(model.init)(jax.random.key(args.seed), *init_args)["params"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"Number of parameters: {n_params}")
 
@@ -81,6 +104,7 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
         seed=args.seed, log_directory=args.log_directory, log_name=log_name,
         ckpt_directory=args.ckpt_directory,
         resume_from=args.resume,
+        apply_fn=apply_fn,
     )
     print(json.dumps(best, indent=2))
     return best

@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--suffix", type=str, default="")
     p.add_argument("--box_size", type=float, default=None)
+    p.add_argument(
+        "--gaussians", type=int, default=0, choices=[0, 3, 10],
+        help="Gaussian-mixture initial placement (clustered graphs); "
+        "0 = single Gaussian (ref datasets/nbody/script/system.py:38-76)",
+    )
     args = p.parse_args(argv)
 
     name = generate_dataset(
@@ -42,8 +47,10 @@ def main(argv=None):
         length=args.length,
         sample_freq=args.sample_freq,
         seed=args.seed,
-        suffix_extra=args.suffix,
+        suffix_extra=(f"_{args.gaussians}g" if args.gaussians else "")
+        + args.suffix,
         box_size=args.box_size,
+        gaussians=args.gaussians,
     )
     print(f"dataset '{name}' written to {args.path}")
     return name

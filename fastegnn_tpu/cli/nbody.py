@@ -81,14 +81,28 @@ def main(argv=None):
         hidden=args.dim_hidden,
         virtual_channels=args.virtual_channel,
         n_layers=args.num_layer,
+        num_blocks=args.num_layer,     # DimeNet family (main_nbody.py:124)
         attention=args.attention_required,
         normalize=args.direction_vector_normalize_required,
         tanh=args.tanh_required,
     )
+    apply_fn = None
+    if args.model in ("DimeNet", "DimeNet++"):
+        # triplet tables ride along with each batch (ref dispatch
+        # utils/train.py:97-98; triplets from torch_sparse, here host-built)
+        from fastegnn_tpu.models import TripletDataset
+
+        dataset_train = TripletDataset(dataset_train)
+        dataset_valid = TripletDataset(dataset_valid)
+        dataset_test = TripletDataset(dataset_test)
+        apply_fn = lambda params, batch: model.apply(
+            {"params": params}, batch[0], batch[1]
+        )
     example = dataset_train.collate(list(range(min(args.batch_size, len(dataset_train)))))
     # jitted init: eager init pays a device round-trip per op (slow on
     # tunneled TPU backends)
-    params = jax.jit(model.init)(jax.random.key(args.seed), example)["params"]
+    init_args = example if isinstance(example, tuple) else (example,)
+    params = jax.jit(model.init)(jax.random.key(args.seed), *init_args)["params"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"Number of parameters: {n_params}")
 
@@ -116,6 +130,7 @@ def main(argv=None):
         log_name=log_name,
         ckpt_directory=args.ckpt_directory,
         resume_from=args.resume,
+        apply_fn=apply_fn,
     )
     print(json.dumps(best, indent=2))
     return best

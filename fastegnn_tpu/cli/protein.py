@@ -50,6 +50,7 @@ def main(argv=None):
         args.npz, partition=part, virtual_channels=args.virtual_channel,
         cutoff_rate=args.cutoff_rate, max_samples=mx,
         delta_frame=args.delta_frame, seed=args.seed,
+        with_local_edges=args.model == "EGHN",
     )
     dtr = mk("train", args.max_train_samples)
     dva = mk("valid", args.max_test_samples)

@@ -83,6 +83,7 @@ class ChargedSystem:
         vel_norm: float = 0.5,
         interaction_strength: float = 1.0,
         box_size: Optional[float] = None,
+        gaussians: int = 0,
     ):
         rng = rng or np.random.default_rng()
         self.dt = delta_t
@@ -96,7 +97,39 @@ class ChargedSystem:
 
         self.charges = rng.choice([1.0, -1.0], size=(n, 1))
         self.qq = self.charges @ self.charges.T  # pair charge products ("edges")
-        x = rng.normal(size=(n, 3)) * std
+        if gaussians:
+            # Gaussian-mixture initial placement (clustered large graphs),
+            # reference ``datasets/nbody/script/system.py:38-76``.  The
+            # reference hardcodes the cluster-mean tables for 3 and 10 and
+            # splits n//gaussians per listed mean; its 3-cluster table lists
+            # only two means, so the particle count falls short of ``n`` and
+            # its own shape assert fires (``script/system.py:78``) — here the
+            # remainder is assigned to the last cluster so every ``n`` works.
+            if gaussians == 3:
+                means = [[-25.0, -25.0, -25.0], [25.0, 25.0, 25.0]]
+            elif gaussians == 10:
+                means = [
+                    [50, 50, 50], [50, 50, -50], [50, -50, 50], [50, -50, -50],
+                    [-50, 50, 50], [-50, 50, -50], [-50, -50, 50],
+                    [-50, -50, -50], [25, 25, 25], [-25, -25, -25],
+                ]
+            else:
+                raise ValueError(
+                    f"gaussians must be 0, 3, or 10 (got {gaussians}); "
+                    "ref script/system.py:44-63 hardcodes those tables"
+                )
+            # NOTE: the reference uses raw loc_std (no N-scaling) here
+            cnt = n // gaussians
+            counts = [cnt] * (len(means) - 1)
+            counts.append(n - sum(counts))
+            x = np.concatenate(
+                [
+                    rng.normal(size=(c, 3)) * loc_std + np.asarray(m, float)
+                    for c, m in zip(counts, means)
+                ]
+            )
+        else:
+            x = rng.normal(size=(n, 3)) * std
         v = rng.normal(size=(n, 3))
         v = v / np.linalg.norm(v, axis=-1, keepdims=True) * vel_norm
 

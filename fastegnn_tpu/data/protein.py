@@ -64,7 +64,19 @@ def preprocess_adk(data_dir: str, out_path: str, backbone: bool = False) -> None
     has_vel = True
     velocities = np.zeros_like(positions)
     dims = None
-    for t, ts in enumerate(u.trajectory):
+    for t in range(n_frames):
+        # Trajectory frame reads retry x10 on OSError, mirroring the
+        # reference's robustness loop (datasets/protein/dataset.py:99-122)
+        # — network-backed DCD reads fail transiently.
+        ts = None
+        for retry in range(10):
+            try:
+                ts = u.trajectory[t]
+                break
+            except OSError:
+                print(f"Reading error at frame {t} (retry {retry + 1}/10)")
+        if ts is None:
+            raise OSError(f"Failed to read frame {t} after 10 retries")
         positions[t] = ts.positions[ix]
         if ts.has_velocities:
             velocities[t] = ts.velocities[ix]
@@ -158,6 +170,7 @@ class ProteinDataset(GraphDataset):
         test_trans: bool = True,
         seed: int = 0,
         max_edges: Optional[int] = None,
+        with_local_edges: bool = False,
     ):
         data = np.load(npz_path)
         pos, vel = data["positions"], data["velocities"]
@@ -195,18 +208,32 @@ class ProteinDataset(GraphDataset):
                 ],
                 axis=1,
             ).astype(np.float32)
-            raw.append(
-                dict(
-                    node_feat=node_feat,
-                    coord=loc_0,
-                    vel=vel_0,
-                    dst=dst,
-                    src=src,
-                    edge_attr=np.concatenate([d0, d0], axis=1).astype(np.float32),
-                    coord_target=loc_t,
-                    node_attr=charges.astype(np.float32),
-                )
+            entry = dict(
+                node_feat=node_feat,
+                coord=loc_0,
+                vel=vel_0,
+                dst=dst,
+                src=src,
+                edge_attr=np.concatenate([d0, d0], axis=1).astype(np.float32),
+                coord_target=loc_t,
+                node_attr=charges.astype(np.float32),
             )
+            if with_local_edges:
+                # EGHN pooling edges: covalent bonds with [topology length,
+                # current length] features (ref utils/train.py:71-76 appends
+                # the frame-0 length to get_local_edge's topology lengths)
+                bd, bs = self._bonds[:, 0], self._bonds[:, 1]
+                blen = np.linalg.norm(loc_0[bd] - loc_0[bs], axis=1,
+                                      keepdims=True).astype(np.float32)
+                entry.update(
+                    local_dst=bd.astype(np.int32),
+                    local_src=bs.astype(np.int32),
+                    local_edge_attr=np.concatenate(
+                        [self._bond_lengths[:, None].astype(np.float32), blen],
+                        axis=1,
+                    ),
+                )
+            raw.append(entry)
 
         n = pos.shape[1]
         e_max = max_edges or max(r["dst"].shape[0] for r in raw)
@@ -218,6 +245,8 @@ class ProteinDataset(GraphDataset):
             edge_attr_dim=2,
             node_attr_dim=1,
             virtual_channels=virtual_channels,
+            max_local_edges=self._bonds.shape[0] if with_local_edges else 0,
+            local_edge_attr_dim=2,
         )
         graphs = []
         for r in raw:

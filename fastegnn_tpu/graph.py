@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from fastegnn_tpu.ops.edge_kernel import EdgeKernelMeta, make_edge_kernel_meta
 from fastegnn_tpu.ops.spmm import CSRMeta, make_csr_meta
 
 
@@ -66,12 +67,20 @@ class GraphBatch:
     node_attr: Optional[jax.Array] = None   # [N, Fa] (charges etc.)
     virtual_fibonacci: Optional[jax.Array] = None  # [B, 3, C] VNEGNN virtual
     # positions (fibonacci sphere, ref datasets/protein/dataset.py:176-205)
+    # --- local (bond) edges for hierarchical models (EGHN; the reference
+    # feeds the covalent-bond graph as pooling edges, utils/train.py:71-79) ---
+    local_dst: Optional[jax.Array] = None       # [El] int32
+    local_src: Optional[jax.Array] = None       # [El] int32
+    local_edge_attr: Optional[jax.Array] = None  # [El, Fl]
+    local_edge_mask: Optional[jax.Array] = None  # [El] bool
     dst_count: Optional[jax.Array] = None   # [N] real in-degree per node
     # --- Pallas SpMM acceleration tables (host-precomputed; see ops/spmm) ---
     csr_dst: Optional[CSRMeta] = None       # CSR blocks over dst-sorted edges
     csr_src: Optional[CSRMeta] = None       # CSR blocks over src-sorted edges
     src_perm: Optional[jax.Array] = None    # [E] permutation sorting by src
     src_sorted: Optional[jax.Array] = None  # [E] = src[src_perm]
+    # --- fused edge-kernel slot layout (ops/edge_kernel.py v2) ---
+    ek: Optional[EdgeKernelMeta] = None
     # --- static metadata ---
     n_graphs: int = struct.field(pytree_node=False, default=1)
 
@@ -102,6 +111,8 @@ class GraphSpec:
     edge_attr_dim: int = 1
     node_attr_dim: int = 1
     virtual_channels: int = 3
+    max_local_edges: int = 0      # capacity for bond/local edges (EGHN)
+    local_edge_attr_dim: int = 2
 
 
 def _np(x) -> np.ndarray:
@@ -119,6 +130,9 @@ def pad_graph(
     edge_attr,
     coord_target,
     node_attr=None,
+    local_dst=None,
+    local_src=None,
+    local_edge_attr=None,
     dtype=np.float32,
 ) -> dict:
     """Pad one raw graph's numpy arrays to the spec's single-graph capacities.
@@ -154,6 +168,18 @@ def pad_graph(
     }
     if node_attr is not None:
         out["node_attr"] = pad_to(node_attr, spec.max_nodes).astype(dtype)
+    if local_dst is not None:
+        el = _np(local_dst).shape[0]
+        if el > spec.max_local_edges:
+            raise ValueError(
+                f"{el} local edges exceed spec capacity {spec.max_local_edges}"
+            )
+        cap = spec.max_local_edges
+        out["local_dst"] = pad_to(_np(local_dst).astype(np.int32), cap)
+        out["local_src"] = pad_to(_np(local_src).astype(np.int32), cap)
+        out["local_edge_attr"] = pad_to(local_edge_attr, cap).astype(dtype)
+        out["local_edge_mask"] = pad_to(np.ones(el, bool), cap).astype(bool)
+        out["n_local_edges"] = el
     return out
 
 
@@ -244,7 +270,12 @@ def batch_graphs(
     )[:total_nodes].astype(np.float32)
 
     csr_dst = csr_src = src_perm = src_sorted = None
+    ek = None
     if build_csr and sort_edges:
+        ek = make_edge_kernel_meta(
+            dst, src, edge_attr, edge_mask, total_nodes,
+            rows=csr_rows, chunk=edge_align,
+        )
         csr_dst = make_csr_meta(dst, total_nodes, rows=csr_rows, chunk=edge_align)
         perm = np.argsort(
             np.where(edge_mask, src, total_nodes), kind="stable"
@@ -268,6 +299,29 @@ def batch_graphs(
     if all("node_attr" in g for g in graphs):
         node_attr = jnp.asarray(cat("node_attr"))
 
+    local_dst = local_src = local_attr = local_mask = None
+    if all("local_dst" in g for g in graphs):
+        # local (bond) edges: offset per graph slot like the main edges;
+        # masked slots point at node 0 but are excluded via local_edge_mask
+        local_dst = jnp.asarray(
+            np.concatenate(
+                [
+                    np.where(g["local_edge_mask"], g["local_dst"] + i * spec.max_nodes, 0)
+                    for i, g in enumerate(graphs)
+                ]
+            ).astype(np.int32)
+        )
+        local_src = jnp.asarray(
+            np.concatenate(
+                [
+                    np.where(g["local_edge_mask"], g["local_src"] + i * spec.max_nodes, 0)
+                    for i, g in enumerate(graphs)
+                ]
+            ).astype(np.int32)
+        )
+        local_attr = jnp.asarray(cat("local_edge_attr"))
+        local_mask = jnp.asarray(cat("local_edge_mask"))
+
     return GraphBatch(
         node_feat=jnp.asarray(node_feat),
         coord=jnp.asarray(coord),
@@ -281,10 +335,15 @@ def batch_graphs(
         coord_target=jnp.asarray(coord_target),
         loc_mean=jnp.asarray(loc_mean),
         node_attr=node_attr,
+        local_dst=local_dst,
+        local_src=local_src,
+        local_edge_attr=local_attr,
+        local_edge_mask=local_mask,
         dst_count=jnp.asarray(dst_count),
         csr_dst=csr_dst,
         csr_src=csr_src,
         src_perm=src_perm,
         src_sorted=src_sorted,
+        ek=ek,
         n_graphs=b,
     )

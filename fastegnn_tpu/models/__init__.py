@@ -86,6 +86,10 @@ MODEL_KWARGS = {
     # (main_nbody.py:129)
     "SchNet": {"hidden", "num_interactions", "num_filters", "num_gaussians", "cutoff"},
     "GVP": {"n_layers", "node_h_dim", "edge_h_dim", "drop_rate"},
+    # reference builds: main_nbody.py:124-127 (bilinear 8, spherical 7,
+    # radial 6, cutoff 10; num_blocks = --num_layer)
+    "DimeNet": {"hidden", "num_blocks"},
+    "DimeNet++": {"hidden", "num_blocks"},
 }
 
 

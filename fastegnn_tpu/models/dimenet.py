@@ -248,6 +248,24 @@ class TripletDataset:
         trip = build_triplets(dst, src, mask, batch.num_nodes, self._capacity)
         return batch, trip
 
+    # uniform loader API: batches are (GraphBatch, Triplets) tuples, so the
+    # generic train loop (train/loop.py) drives DimeNet via its ``apply_fn``
+    # hook (reference dispatch utils/train.py:97-98)
+    collate = collate_with_triplets
+
+    def iter_batches(self, batch_size, rng=None, drop_last=True):
+        order = np.arange(len(self.base))
+        if rng is not None:
+            rng.shuffle(order)
+        n = len(order)
+        end = n - (n % batch_size) if drop_last else n
+        for lo in range(0, end, batch_size):
+            yield self.collate_with_triplets(order[lo : lo + batch_size])
+
+    def num_batches(self, batch_size, drop_last=True):
+        n = len(self.base)
+        return n // batch_size if drop_last else -(-n // batch_size)
+
 
 # ---------------------------------------------------------------------------
 # model

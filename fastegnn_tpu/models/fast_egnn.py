@@ -85,10 +85,10 @@ class EGCLVel(fnn.Module):
     epsilon: float = 1e-8
     shard_axis: Optional[str] = None   # mesh axis for graph parallelism
     shard_axis_size: int = 1
-    # Fused Pallas edge-block kernel (ops/fused_edge.py): 2.7x faster
-    # *forward*; backward currently recomputes the unfused path, so training
-    # is faster with this off. Turn on for inference/eval-heavy use.
-    fuse_edge: bool = False
+    # Fused Pallas edge-block kernel (ops/edge_kernel.py v2): fully-fused
+    # forward AND backward; falls back to the XLA path when the batch has no
+    # slot tables or the layer uses attention/normalize/tanh variants.
+    fuse_edge: bool = True
     # MLP compute dtype ("bfloat16" halves every edge-stream byte; geometry,
     # residual state, and all reductions stay float32)
     compute_dtype: str = "float32"
@@ -149,20 +149,18 @@ class EGCLVel(fnn.Module):
         use_pallas = graph.csr_dst is not None
         cd = jnp.dtype(self.compute_dtype)
         use_fused = (
-            use_pallas
+            graph.ek is not None
             and self.fuse_edge
+            and H == 64
+            and graph.edge_attr.shape[1] <= 3
             and not self.attention
             and not self.normalize
             and not self.tanh
             and self.coords_agg == "mean"
+            and ax is None   # sharded layers keep the CSR path for now
         )
         if use_fused:
-            from fastegnn_tpu.ops.fused_edge import fused_edge_block
-            from fastegnn_tpu.ops.spmm import (
-                gather_dst as _gdst,
-                gather_src as _gsrc,
-                sorted_segment_sum_csr as _sssc,
-            )
+            from fastegnn_tpu.ops.edge_kernel import fused_edge_block_v2
 
             ein_dim = 2 * H + 1 + graph.edge_attr.shape[1]
             eyeE = jnp.eye(ein_dim, dtype=jnp.float32)
@@ -176,30 +174,10 @@ class EGCLVel(fnn.Module):
             Wg1 = r_lin0(eyeH) - bg1
             wg2 = r_head(eyeH)  # no bias
 
-            meta = graph.csr_dst
-
-            def _unfused(h_, x_, W1_, b1_, W2_, b2_, Wg1_, bg1_, wg2_):
-                hx_ = jnp.concatenate([h_, x_], axis=-1)
-                hd = _gdst(hx_, dst, meta)
-                hs = _gsrc(hx_, src, graph.src_perm, graph.src_sorted,
-                           graph.csr_src)
-                diff = hd[:, H:] - hs[:, H:]
-                rad = jnp.sum(diff**2, axis=-1, keepdims=True)
-                ein = jnp.concatenate(
-                    [hd[:, :H], hs[:, :H], rad, graph.edge_attr], axis=-1
-                ).astype(cd)
-                mm = fnn.silu(ein @ W1_.astype(cd) + b1_.astype(cd))
-                mm = fnn.silu(mm @ W2_.astype(cd) + b2_.astype(cd))
-                gg = fnn.silu(mm @ Wg1_.astype(cd) + bg1_.astype(cd))
-                gate = (gg @ wg2_.astype(cd)).astype(jnp.float32)
-                tr = diff * gate
-                comb = jnp.concatenate([mm, tr.astype(cd)], axis=-1)
-                summed = _sssc(comb, dst, meta, N)
-                return summed[:, :H], summed[:, H:]
-
-            m_sum, trans_sum = fused_edge_block(
-                h, x, graph, W1, b1, W2, b2, Wg1, bg1, wg2, _unfused,
+            m_sum, trans_sum = fused_edge_block_v2(
+                h, x, graph.ek, W1, b1, W2, b2, Wg1, bg1, wg2,
                 compute_dtype=cd,
+                grad_stream_dtype=cd,
             )
             if graph.dst_count is not None:
                 cnt = graph.dst_count
@@ -354,7 +332,7 @@ class FastEGNN(fnn.Module):
     use_node_attr: bool = False
     shard_axis: Optional[str] = None
     shard_axis_size: int = 1
-    fuse_edge: bool = False
+    fuse_edge: bool = True
     compute_dtype: str = "float32"
 
     @fnn.compact

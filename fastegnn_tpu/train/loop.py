@@ -67,6 +67,7 @@ def train(
     ckpt_directory: Optional[str] = None,
     resume_from: Optional[str] = None,
     verbose: bool = True,
+    apply_fn=None,
 ):
     """Returns ``(best_log_dict, log_dict, final_state)``.
 
@@ -75,10 +76,12 @@ def train(
     reference lacks — it only saves best params, ``utils/train.py:197-208``).
     """
     train_step = make_train_step(
-        model, tx, sigma, weight, sample, per_graph_sampling, use_mmd
+        model, tx, sigma, weight, sample, per_graph_sampling, use_mmd,
+        apply_fn=apply_fn,
     )
     eval_step = make_eval_step(
-        model, sigma, weight, sample, per_graph_sampling, use_mmd
+        model, sigma, weight, sample, per_graph_sampling, use_mmd,
+        apply_fn=apply_fn,
     )
     key = jax.random.key(seed)
     shuffle_rng = np.random.default_rng(seed)

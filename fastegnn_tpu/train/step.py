@@ -39,15 +39,26 @@ def make_loss_fn(
     sample: int,
     per_graph_sampling: bool = False,
     use_mmd: bool = True,
+    apply_fn: Optional[Callable] = None,
 ) -> Callable:
-    """Returns ``loss_fn(params, graph, key) -> (total_loss, (mse, mmd))``.
+    """Returns ``loss_fn(params, batch, key) -> (total_loss, (mse, mmd))``.
 
     ``mse`` is the *logged* loss (pre-MMD), matching the reference's split
     (``utils/train.py:104-108,163-165``).
+
+    ``apply_fn(params, batch) -> prediction`` overrides the default
+    ``model.apply({"params": p}, batch)`` for models with non-uniform
+    signatures (EGHN's local bond edges, DimeNet's triplet tables — the
+    reference's per-class dispatch, ``utils/train.py:51-102``).  ``batch``
+    may then be a (GraphBatch, aux...) tuple; the GraphBatch must come first.
     """
 
-    def loss_fn(params, graph: GraphBatch, key):
-        out = _forward(model, params, graph)
+    def loss_fn(params, batch, key):
+        graph = batch[0] if isinstance(batch, tuple) else batch
+        if apply_fn is not None:
+            out = apply_fn(params, batch)
+        else:
+            out = _forward(model, params, graph)
         if isinstance(out, tuple):
             pred, vloc = out[0], out[1] if len(out) > 1 else None
         else:
@@ -75,10 +86,12 @@ def make_train_step(
     per_graph_sampling: bool = False,
     use_mmd: bool = True,
     donate: bool = True,
+    apply_fn: Optional[Callable] = None,
 ) -> Callable[[TrainState, GraphBatch, jax.Array], Tuple[TrainState, dict]]:
-    loss_fn = make_loss_fn(model, sigma, weight, sample, per_graph_sampling, use_mmd)
+    loss_fn = make_loss_fn(model, sigma, weight, sample, per_graph_sampling,
+                           use_mmd, apply_fn)
 
-    def step(state: TrainState, graph: GraphBatch, key):
+    def step(state: TrainState, graph, key):
         (total, (mse, mmd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, graph, key
         )
@@ -97,11 +110,13 @@ def make_eval_step(
     sample: int = 3,
     per_graph_sampling: bool = False,
     use_mmd: bool = True,
+    apply_fn: Optional[Callable] = None,
 ) -> Callable[[Any, GraphBatch, jax.Array], dict]:
-    loss_fn = make_loss_fn(model, sigma, weight, sample, per_graph_sampling, use_mmd)
+    loss_fn = make_loss_fn(model, sigma, weight, sample, per_graph_sampling,
+                           use_mmd, apply_fn)
 
     @jax.jit
-    def step(params, graph: GraphBatch, key):
+    def step(params, graph, key):
         total, (mse, mmd) = loss_fn(params, graph, key)
         return {"loss": total, "mse": mse, "mmd": mmd}
 

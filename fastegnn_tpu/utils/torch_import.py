@@ -120,3 +120,163 @@ def params_from_reference_state_dict(
     import jax
 
     return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def _mlp2(sd, prefix):
+    """Reference ``nn.Sequential(Linear, act, Linear)`` -> our MLP params."""
+    return {"lin0": _linear(sd, f"{prefix}.0"), "lin1": _linear(sd, f"{prefix}.2")}
+
+
+def _coord_mlp(sd, prefix):
+    """Reference ``get_coord_mlp`` (Linear, act, Linear(H->1, no bias))."""
+    return {
+        "lin0": _linear(sd, f"{prefix}.0"),
+        "head": _linear(sd, f"{prefix}.2", bias=False),
+    }
+
+
+def params_from_fastrf_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    n_layers: int = 4,
+    has_gravity: bool = False,
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.FastRF` from the reference
+    ``models/FastRF.py`` state dict (module names ``FastRF.py:28-86``)."""
+    sd = state_dict
+    params: dict = {
+        "embedding_in": _linear(sd, "embedding_in"),
+        "virtual_node_feat": np.transpose(_np(sd["virtual_node_feat"]), (0, 2, 1)),
+    }
+    for i in range(n_layers):
+        g = f"gcl_{i}"
+        layer = {
+            "edge_mlp": _mlp2(sd, f"{g}.edge_mlp"),
+            "edge_mlp_virtual": _mlp2(sd, f"{g}.edge_mlp_virtual"),
+            "coord_mlp_r": _coord_mlp(sd, f"{g}.coord_mlp_r"),
+            "coord_mlp_r_virtual": _coord_mlp(sd, f"{g}.coord_mlp_r_virtual"),
+            "coord_mlp_v_virtual": _coord_mlp(sd, f"{g}.coord_mlp_v_virtual"),
+            "coord_mlp_vel": _mlp2(sd, f"{g}.coord_mlp_vel"),
+        }
+        if has_gravity:
+            layer["gravity_mlp"] = _mlp2(sd, f"{g}.gravity_mlp")
+        params[g] = layer
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def params_from_fastschnet_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    n_layers: int = 4,
+    hidden: int = 64,
+    virtual_channels: int = 3,
+    has_gravity: bool = False,
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.FastSchNet` from the
+    reference ``models/FastSchNet.py`` state dict.
+
+    The embedded 1-interaction SchNet maps ``SchNetLayer.interactions.0.*``
+    -> our ``schnet_layer/interaction_0`` (CFConv filter MLP ``conv.nn.{0,2}``
+    -> ``conv/nn{0,1}``); its unused output head (``lin1``/``lin2``,
+    ``FastSchNet.py:431-434``) and the unused ``coord_mlp_r``/``coord_mlp_vel``
+    (``FastSchNet.py:137-145``) are dropped.  ``node_mlp.0`` input columns for
+    the flattened virtual message permute [H,C]->[C,H] as in FastEGNN.
+    """
+    sd = state_dict
+    H, C = hidden, virtual_channels
+
+    def permute_node_mlp_kernel(K):
+        base = 2 * H
+        virt = K[base : base + C * H]
+        virt = virt.reshape(H, C, -1).transpose(1, 0, 2).reshape(C * H, -1)
+        return np.concatenate([K[:base], virt, K[base + C * H :]], axis=0)
+
+    params: dict = {
+        "embedding_in": _linear(sd, "embedding_in"),
+        "virtual_node_feat": np.transpose(_np(sd["virtual_node_feat"]), (0, 2, 1)),
+    }
+    for i in range(n_layers):
+        g = f"gcl_{i}"
+        node0 = _linear(sd, f"{g}.node_mlp.0")
+        node0["kernel"] = permute_node_mlp_kernel(node0["kernel"])
+        s = f"{g}.SchNetLayer"
+        layer = {
+            "edge_mlp": _mlp2(sd, f"{g}.edge_mlp"),
+            "edge_mlp_virtual": _mlp2(sd, f"{g}.edge_mlp_virtual"),
+            "coord_mlp_r_virtual": _coord_mlp(sd, f"{g}.coord_mlp_r_virtual"),
+            "coord_mlp_v_virtual": _coord_mlp(sd, f"{g}.coord_mlp_v_virtual"),
+            "node_mlp": {"lin0": node0, "lin1": _linear(sd, f"{g}.node_mlp.2")},
+            "node_mlp_virtual": _mlp2(sd, f"{g}.node_mlp_virtual"),
+            "schnet_layer": {
+                "coord_update_0": _linear(sd, f"{s}.coord_updates.0"),
+                "interaction_0": {
+                    "conv": {
+                        "nn0": _linear(sd, f"{s}.interactions.0.conv.nn.0"),
+                        "nn1": _linear(sd, f"{s}.interactions.0.conv.nn.2"),
+                        "lin1": _linear(
+                            sd, f"{s}.interactions.0.conv.lin1", bias=False
+                        ),
+                        "lin2": _linear(sd, f"{s}.interactions.0.conv.lin2"),
+                    },
+                    "lin": _linear(sd, f"{s}.interactions.0.lin"),
+                },
+            },
+        }
+        if has_gravity:
+            layer["gravity_mlp"] = _mlp2(sd, f"{g}.gravity_mlp")
+        params[g] = layer
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def _base_mlp(sd, prefix):
+    """Reference ``BaseMLP`` (``basic.py:178-196``, keys ``mlp.0``/``mlp.2``)."""
+    return {"lin0": _linear(sd, f"{prefix}.mlp.0"), "lin1": _linear(sd, f"{prefix}.mlp.2")}
+
+
+def params_from_egnn_state_dict(
+    state_dict: Dict[str, "np.ndarray"], n_layers: int = 4, with_v: bool = True
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.EGNN` from the reference
+    ``models/basic.py`` EGNN state dict (``basic.py:285-341``)."""
+    sd = state_dict
+    params: dict = {"embedding": _linear(sd, "embedding")}
+    for i in range(n_layers):
+        p = f"layers.{i}"
+        layer = {
+            "edge_message_net": {
+                "scalar_net": _base_mlp(sd, f"{p}.edge_message_net.scalar_net")
+            },
+            "coord_net": _base_mlp(sd, f"{p}.coord_net"),
+            "node_net": _base_mlp(sd, f"{p}.node_net"),
+        }
+        if with_v:
+            layer["node_v_net"] = _base_mlp(sd, f"{p}.node_v_net")
+        params[f"layer_{i}"] = layer
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def params_from_vnegnn_state_dict(
+    state_dict: Dict[str, "np.ndarray"], n_layers: int = 4
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.VNEGNN` from the reference
+    ``models/VNEGNN.py`` state dict (sub-cells ``VNEGNN.py:337-342``)."""
+    sd = state_dict
+    params: dict = {
+        "embedding_in": _linear(sd, "embedding_in"),
+        "virtual_node_feat": np.transpose(_np(sd["virtual_node_feat"]), (0, 2, 1)),
+    }
+    for i in range(n_layers):
+        for cell in ("A2A", "A2V", "V2A"):
+            g = f"{cell}_{i}"
+            params[g] = {
+                "edge_mlp": _mlp2(sd, f"{g}.edge_mlp"),
+                "node_mlp": _mlp2(sd, f"{g}.node_mlp"),
+                "coord_mlp": _coord_mlp(sd, f"{g}.coord_mlp"),
+            }
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)

@@ -63,3 +63,31 @@ def test_generate_dataset_layout(tmp_path):
     for f in ["vel", "edges", "charges"]:
         assert (tmp_path / f"{f}_train_charged3_0_0.npy").exists()
     assert (tmp_path / "cfg_train_charged3_0_0.pkl").exists()
+
+
+def test_gaussian_mixture_init_clusters():
+    """``gaussians=10`` places particles in tight clusters around the
+    reference's hardcoded means (ref ``script/system.py:49-63``)."""
+    rng = np.random.default_rng(7)
+    sys_ = ChargedSystem(50, rng=rng, gaussians=10)
+    means = np.array(
+        [[50, 50, 50], [50, 50, -50], [50, -50, 50], [50, -50, -50],
+         [-50, 50, 50], [-50, 50, -50], [-50, -50, 50], [-50, -50, -50],
+         [25, 25, 25], [-25, -25, -25]], float)
+    d = np.linalg.norm(sys_.x[:, None, :] - means[None], axis=-1).min(axis=1)
+    assert np.all(d < 6.0)  # loc_std=1 -> every particle near some mean
+    # clustered: mean nearest-neighbour distance far below cluster spacing
+    assert sys_.x.shape == (50, 3)
+
+
+def test_gaussian_mixture_generates_and_loads(tmp_path):
+    from fastegnn_tpu.data.nbody import NBodyDataset
+
+    name = generate_dataset(
+        str(tmp_path), 10, num_train=2, num_valid=1, num_test=1,
+        length=250, sample_freq=5, seed=1, gaussians=10,
+        suffix_extra="_10g",
+    )
+    assert name == "10_0_0_10g"
+    ds = NBodyDataset(str(tmp_path), name, partition="train", cutoff_rate=0.5)
+    assert len(ds) == 2

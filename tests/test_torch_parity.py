@@ -1,0 +1,300 @@
+"""True PyTorch-reference parity: run the ACTUAL reference model as oracle.
+
+The reference modules at ``/root/reference/models`` execute on CPU torch with
+the tiny PyG/torch_scatter shims from ``fastegnn_tpu.utils.torch_ref``
+(``global_mean_pool`` is FastEGNN's only PyG import, ``models/FastEGNN.py:4``).
+We initialise the reference model, export its ``state_dict``, import into our
+flax params, and require:
+
+- final outputs allclose at 1e-4 (the reference's own equivariance tolerance,
+  ``equivariant_test.py:62``), and
+- **per-layer activations** allclose at 1e-4 (the BASELINE.md criterion):
+  forward hooks on each reference ``gcl_i`` vs flax ``capture_intermediates``.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+
+from fastegnn_tpu.utils.torch_ref import REFERENCE_ROOT, load_reference_module
+from fastegnn_tpu.utils.torch_import import params_from_reference_state_dict
+from fastegnn_tpu.models import FastEGNN
+
+from helpers import make_batch
+
+pytestmark = pytest.mark.skipif(
+    not (REFERENCE_ROOT / "models").exists(), reason="reference tree absent"
+)
+
+H, C, L = 64, 3, 4
+
+
+def _torch_inputs_from_raws(raws, spec):
+    """Concatenate raw graphs exactly like our batcher (offset by max_nodes)."""
+    n = spec.max_nodes
+    feats, locs, vels, dsts, srcs, eattrs, batch = [], [], [], [], [], [], []
+    for g, r in enumerate(raws):
+        feats.append(r["node_feat"])
+        locs.append(r["coord"])
+        vels.append(r["vel"])
+        dsts.append(r["dst"] + g * n)
+        srcs.append(r["src"] + g * n)
+        eattrs.append(r["edge_attr"])
+        batch.append(np.full(r["coord"].shape[0], g, np.int64))
+    edge_index = torch.tensor(
+        np.stack([np.concatenate(dsts), np.concatenate(srcs)]), dtype=torch.long
+    )
+    return dict(
+        node_feat=torch.tensor(np.concatenate(feats)),
+        node_loc=torch.tensor(np.concatenate(locs)),
+        node_vel=torch.tensor(np.concatenate(vels)),
+        edge_index=edge_index,
+        data_batch=torch.tensor(np.concatenate(batch)),
+        edge_attr=torch.tensor(np.concatenate(eattrs)),
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_fastegnn():
+    mod = load_reference_module("models/FastEGNN.py")
+    torch.manual_seed(7)
+    model = mod.FastEGNN(
+        node_feat_nf=2, node_attr_nf=0, edge_attr_nf=2, hidden_nf=H,
+        virtual_channels=C, n_layers=L, device="cpu",
+    )
+    model.eval()
+    return model
+
+
+def test_fastegnn_full_and_per_layer_parity(ref_fastegnn):
+    rng = np.random.default_rng(3)
+    # graphs fill node capacity exactly (the reference has no padding concept);
+    # complete graphs, 2 graphs in the batch
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    loc_mean = torch.tensor(np.asarray(batch.loc_mean))
+
+    # --- reference forward with per-layer hooks ---
+    captured = {}
+
+    def hook(name):
+        def fn(_mod, _in, out):
+            captured[name] = [o.detach().numpy() for o in out]
+        return fn
+
+    handles = [
+        ref_fastegnn._modules[f"gcl_{i}"].register_forward_hook(hook(f"gcl_{i}"))
+        for i in range(L)
+    ]
+    with torch.no_grad():
+        ref_loc, ref_vloc = ref_fastegnn(
+            node_feat=tin["node_feat"], node_loc=tin["node_loc"],
+            node_vel=tin["node_vel"], edge_index=tin["edge_index"],
+            data_batch=tin["data_batch"], loc_mean=loc_mean,
+            edge_attr=tin["edge_attr"],
+        )
+    for h_ in handles:
+        h_.remove()
+
+    # --- ours, with imported weights and intermediate capture ---
+    sd = {k: v.detach().numpy() for k, v in ref_fastegnn.state_dict().items()}
+    params = params_from_reference_state_dict(
+        sd, n_layers=L, hidden=H, virtual_channels=C
+    )
+    model = FastEGNN(hidden=H, virtual_channels=C, n_layers=L)
+    out, state = model.apply(
+        {"params": params}, batch, capture_intermediates=True
+    )
+    loc, vloc = out
+
+    np.testing.assert_allclose(
+        np.asarray(loc), ref_loc.numpy(), atol=1e-4,
+        err_msg="final coords diverge from live torch reference",
+    )
+    np.testing.assert_allclose(
+        np.asarray(vloc), ref_vloc.numpy(), atol=1e-4,
+        err_msg="virtual coords diverge",
+    )
+
+    inter = state["intermediates"]
+    for i in range(L):
+        ours_h, ours_x, ours_vx, ours_vh = inter[f"gcl_{i}"]["__call__"][0]
+        ref_h, ref_x, ref_vh, ref_vx = captured[f"gcl_{i}"]
+        np.testing.assert_allclose(
+            np.asarray(ours_h), ref_h, atol=1e-4,
+            err_msg=f"layer {i}: node features diverge",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours_x), ref_x, atol=1e-4,
+            err_msg=f"layer {i}: coords diverge",
+        )
+        # ours channel-major [B,C,*] vs reference [B,*,C]
+        np.testing.assert_allclose(
+            np.asarray(ours_vx).transpose(0, 2, 1), ref_vx, atol=1e-4,
+            err_msg=f"layer {i}: virtual coords diverge",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours_vh).transpose(0, 2, 1), ref_vh, atol=1e-4,
+            err_msg=f"layer {i}: virtual features diverge",
+        )
+
+
+def test_fastrf_parity():
+    from fastegnn_tpu.models import FastRF
+    from fastegnn_tpu.utils.torch_import import params_from_fastrf_state_dict
+
+    mod = load_reference_module("models/FastRF.py")
+    torch.manual_seed(5)
+    ref = mod.FastRF(
+        node_feat_nf=2, node_attr_nf=0, edge_attr_nf=2, hidden_nf=H,
+        virtual_channels=C, n_layers=L, device="cpu",
+    )
+    ref.eval()
+    rng = np.random.default_rng(4)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    with torch.no_grad():
+        ref_loc, ref_vloc = ref(
+            node_feat=tin["node_feat"], node_loc=tin["node_loc"],
+            node_vel=tin["node_vel"], edge_index=tin["edge_index"],
+            data_batch=tin["data_batch"],
+            loc_mean=torch.tensor(np.asarray(batch.loc_mean)),
+            edge_attr=tin["edge_attr"],
+        )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_fastrf_state_dict(sd, n_layers=L)
+    model = FastRF(hidden=H, virtual_channels=C, n_layers=L)
+    loc, vloc = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(loc), ref_loc.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vloc), ref_vloc.numpy(), atol=1e-4)
+
+
+def test_vnegnn_parity():
+    from fastegnn_tpu.models import VNEGNN
+    from fastegnn_tpu.utils.torch_import import params_from_vnegnn_state_dict
+
+    mod = load_reference_module("models/VNEGNN.py")
+    torch.manual_seed(9)
+    ref = mod.VNEGNN(
+        node_feat_nf=2, node_attr_nf=0, edge_attr_nf=2, hidden_nf=H,
+        virtual_channels=C, n_layers=L, device="cpu",
+    )
+    ref.eval()
+    rng = np.random.default_rng(6)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    with torch.no_grad():
+        ref_loc, ref_vloc = ref(
+            node_feat=tin["node_feat"], node_loc=tin["node_loc"],
+            edge_index=tin["edge_index"], data_batch=tin["data_batch"],
+            virtual_node_loc=torch.tensor(np.asarray(batch.loc_mean)),
+            edge_attr=tin["edge_attr"],
+        )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_vnegnn_state_dict(sd, n_layers=L)
+    model = VNEGNN(hidden=H, virtual_channels=C, n_layers=L)
+    loc, vloc = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(loc), ref_loc.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vloc), ref_vloc.numpy(), atol=1e-4)
+
+
+def test_fastschnet_parity():
+    from fastegnn_tpu.models import FastSchNet
+    from fastegnn_tpu.utils.torch_import import params_from_fastschnet_state_dict
+
+    mod = load_reference_module("models/FastSchNet.py")
+    torch.manual_seed(13)
+    ref = mod.FastSchNet(
+        node_feat_nf=2, node_attr_nf=0, edge_attr_nf=2, hidden_nf=H,
+        virtual_channels=C, n_layers=2, device="cpu",
+    )
+    ref.eval()
+    rng = np.random.default_rng(8)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    with torch.no_grad():
+        ref_loc, ref_vloc = ref(
+            node_feat=tin["node_feat"], node_loc=tin["node_loc"],
+            node_vel=tin["node_vel"], edge_index=tin["edge_index"],
+            data_batch=tin["data_batch"],
+            loc_mean=torch.tensor(np.asarray(batch.loc_mean)),
+            edge_attr=tin["edge_attr"],
+        )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_fastschnet_state_dict(
+        sd, n_layers=2, hidden=H, virtual_channels=C
+    )
+    model = FastSchNet(hidden=H, virtual_channels=C, n_layers=2)
+    loc, vloc = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(
+        np.asarray(loc), ref_loc.numpy(), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(vloc), ref_vloc.numpy(), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_egnn_parity():
+    from fastegnn_tpu.models import EGNN
+    from fastegnn_tpu.utils.torch_import import params_from_egnn_state_dict
+
+    mod = load_reference_module("models/basic.py")
+    torch.manual_seed(17)
+    ref = mod.EGNN(n_layers=L, in_node_nf=2, in_edge_nf=2, hidden_nf=H,
+                   with_v=True)
+    ref.eval()
+    rng = np.random.default_rng(10)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    with torch.no_grad():
+        ref_x, ref_v, ref_h = ref(
+            x=tin["node_loc"], h=tin["node_feat"],
+            edge_index=tin["edge_index"], edge_fea=tin["edge_attr"],
+            v=tin["node_vel"],
+        )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_egnn_state_dict(sd, n_layers=L, with_v=True)
+    model = EGNN(hidden=H, n_layers=L, with_v=True)
+    x, v, h = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(x), ref_x.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h), ref_h.numpy(), atol=1e-4)
+
+
+def test_fastegnn_parity_with_padding(ref_fastegnn):
+    """Same oracle, but our batch carries padded nodes/edges: padding must be
+    invisible (masking correctness against live torch)."""
+    rng = np.random.default_rng(11)
+    batch, raws, spec = make_batch(
+        rng, n_graphs=2, n_nodes=7, cutoff_rate=0.3, pad_nodes=3, pad_edges=9
+    )
+    tin = _torch_inputs_from_raws(raws, spec)
+    # reference indices assume contiguous nodes; ours offset by max_nodes=10.
+    # Build the torch batch vector over the *compacted* node list instead.
+    n_real = [r["coord"].shape[0] for r in raws]
+    comp_index = np.concatenate(
+        [np.arange(n) + g * spec.max_nodes for g, n in enumerate(n_real)]
+    )
+    remap = {int(v): i for i, v in enumerate(comp_index)}
+    ei = tin["edge_index"].numpy()
+    ei = np.vectorize(remap.__getitem__)(ei)
+    with torch.no_grad():
+        ref_loc, _ = ref_fastegnn(
+            node_feat=tin["node_feat"], node_loc=tin["node_loc"],
+            node_vel=tin["node_vel"],
+            edge_index=torch.tensor(ei, dtype=torch.long),
+            data_batch=tin["data_batch"],
+            loc_mean=torch.tensor(np.asarray(batch.loc_mean)),
+            edge_attr=tin["edge_attr"],
+        )
+
+    sd = {k: v.detach().numpy() for k, v in ref_fastegnn.state_dict().items()}
+    params = params_from_reference_state_dict(
+        sd, n_layers=L, hidden=H, virtual_channels=C
+    )
+    model = FastEGNN(hidden=H, virtual_channels=C, n_layers=L)
+    loc, _ = model.apply({"params": params}, batch)
+    ours = np.asarray(loc)[np.asarray(batch.node_mask)]
+    np.testing.assert_allclose(ours, ref_loc.numpy(), atol=1e-4)

@@ -130,3 +130,70 @@ def test_resume_from_checkpoint(tiny_data, tmp_path):
     # resumed run trains only the remaining epochs
     assert len(log2["loss_train"]) < 6
     assert np.isfinite(best2["loss_valid"])
+
+
+def test_eghn_trains_on_protein(tmp_path):
+    """EGHN e2e: bond-graph local edges flow through collation into the
+    training step (reference enables EGHN on protein, main_protein.py:133)."""
+    from fastegnn_tpu.data.protein import ProteinDataset, make_synthetic_protein_npz
+    from fastegnn_tpu.models import EGHN
+
+    npz = str(tmp_path / "adk.npz")
+    make_synthetic_protein_npz(npz, n_atoms=24, n_frames=40, seed=3)
+    mk = lambda part: ProteinDataset(
+        npz, partition=part, virtual_channels=3, cutoff_rate=0.0,
+        delta_frame=2, contact_cutoff=6.0, seed=1, with_local_edges=True,
+        max_samples=8,
+    )
+    dtr, dva, dte = mk("train"), mk("valid"), mk("test")
+    model = EGHN(hidden=16, n_cluster=4, layer_per_block=1, layer_pooling=1,
+                 layer_decoder=1)
+    example = dtr.collate([0, 1])
+    assert example.local_dst is not None
+
+    def apply_fn(params, batch):
+        g = batch[0] if isinstance(batch, tuple) else batch
+        x_out, _h, _cut = model.apply(
+            {"params": params}, g, g.local_dst, g.local_src,
+            g.local_edge_attr, g.local_edge_mask,
+        )
+        return x_out
+
+    params = model.init(
+        jax.random.key(0), example, example.local_dst, example.local_src,
+        example.local_edge_attr, example.local_edge_mask,
+    )["params"]
+    tx = torch_adam(5e-4, 1e-12)
+    state = TrainState.create(params, tx)
+    best, log, state = train(
+        model, state, tx, dtr, dva, dte, batch_size=2, sigma=1.0, weight=0.5,
+        use_mmd=False, test_interval=5, max_epochs=10, seed=43,
+        verbose=False, apply_fn=apply_fn,
+    )
+    assert log["loss_train"][-1] < log["loss_train"][0]
+    assert np.isfinite(log["loss_train"][-1])
+
+
+def test_dimenet_trains_on_nbody(tiny_data):
+    """DimeNet e2e: triplet tables ride along with batches (reference
+    dispatch utils/train.py:97-98, built via main_nbody.py:124)."""
+    from fastegnn_tpu.models import DimeNet, TripletDataset
+
+    path, name = tiny_data
+    dtr, dva, dte = _datasets(path, name, cutoff=0.0)
+    dtr, dva, dte = TripletDataset(dtr), TripletDataset(dva), TripletDataset(dte)
+    model = DimeNet(hidden=16, num_blocks=1, num_spherical=3, num_radial=3)
+    g0, t0 = dtr.collate([0, 1])
+    params = model.init(jax.random.key(0), g0, t0)["params"]
+    apply_fn = lambda params, batch: model.apply(
+        {"params": params}, batch[0], batch[1]
+    )
+    tx = torch_adam(5e-4, 1e-12)
+    state = TrainState.create(params, tx)
+    best, log, state = train(
+        model, state, tx, dtr, dva, dte, batch_size=2, sigma=1.5,
+        weight=0.01, use_mmd=False, test_interval=5, max_epochs=8,
+        seed=43, verbose=False, apply_fn=apply_fn,
+    )
+    assert np.isfinite(log["loss_train"][-1])
+    assert log["loss_train"][-1] < log["loss_train"][0]
