@@ -86,9 +86,11 @@ class EGCLVel(fnn.Module):
     shard_axis: Optional[str] = None   # mesh axis for graph parallelism
     shard_axis_size: int = 1
     # Fused Pallas edge-block kernel (ops/edge_kernel.py v2): fully-fused
-    # forward AND backward; falls back to the XLA path when the batch has no
-    # slot tables or the layer uses attention/normalize/tanh variants.
-    fuse_edge: bool = True
+    # forward AND backward.  None = auto (on for TPU backends, off elsewhere
+    # where the kernel would run in the slow interpreter); True forces it
+    # (tests), False disables.  Falls back to the XLA path when the batch has
+    # no slot tables or the layer uses attention/normalize/tanh variants.
+    fuse_edge: Optional[bool] = None
     # MLP compute dtype ("bfloat16" halves every edge-stream byte; geometry,
     # residual state, and all reductions stay float32)
     compute_dtype: str = "float32"
@@ -148,9 +150,14 @@ class EGCLVel(fnn.Module):
         # ---- sparse real<->real edge block (local edges) ----
         use_pallas = graph.csr_dst is not None
         cd = jnp.dtype(self.compute_dtype)
+        fuse = (
+            self.fuse_edge
+            if self.fuse_edge is not None
+            else jax.default_backend() == "tpu"
+        )
         use_fused = (
             graph.ek is not None
-            and self.fuse_edge
+            and fuse
             and H == 64
             and graph.edge_attr.shape[1] <= 3
             and not self.attention
@@ -332,7 +339,7 @@ class FastEGNN(fnn.Module):
     use_node_attr: bool = False
     shard_axis: Optional[str] = None
     shard_axis_size: int = 1
-    fuse_edge: bool = True
+    fuse_edge: Optional[bool] = None
     compute_dtype: str = "float32"
 
     @fnn.compact

@@ -1,0 +1,360 @@
+"""Owner-sharded graph parallelism: O(N/G) node state + halo exchange.
+
+The round-1 graph-parallel path (``parallel/graph_parallel.py``) shards
+*edges* but replicates node state on every device and all-gathers it each
+layer — compute scales, memory does not.  This module is the north-star
+design (BASELINE.json: "boundary node positions/features exchanged
+all-to-all each layer"):
+
+- nodes are partitioned into ``G`` contiguous owner ranges of ``N/G`` rows;
+  every node array lives ONLY on its owner (``[N/G, ...]`` per shard);
+- each edge lives on the shard that owns its ``dst`` (dst-sorted edges make
+  these contiguous ranges), so per-destination aggregation is local and
+  exact — no reduce-scatter at all;
+- per layer, each shard sends the (host-precomputed, static) set of its
+  owned rows that other shards reference as ``src`` — the *boundary set* —
+  via one ``all_gather`` of ``[S, H+3]`` halo blocks; edge gathers index a
+  ``[N/G + G*S, .]`` local table.  Comm per layer is O(S*(H+3)) with
+  S = max boundary size, not O(N*H);
+- per-graph pools (virtual-node machinery, Gram/coordinate means) are
+  partial sums combined with ``psum`` — exact;
+- XLA's async collectives let the halo all_gather overlap the local edge
+  MLP: the gather result is only needed by the src-side of the edge block,
+  which the schedule places after the dst-side work.
+
+The layer math mirrors ``EGCLVel`` (reference ``models/FastEGNN.py:192-223``)
+for the paper configuration (mean aggregation, no attention/normalize/tanh);
+it consumes the *same* flax param tree as ``models.FastEGNN``, so a model
+trained sharded is loadable unsharded and vice versa.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fastegnn_tpu.graph import GraphBatch
+from fastegnn_tpu.ops.segment import graph_mean_pool, segment_sum
+from fastegnn_tpu.train.step import TrainState
+from fastegnn_tpu.train.loss import masked_mse, mmd_loss
+
+
+@struct.dataclass
+class OwnerShardedBatch:
+    """Per-shard arrays, stacked on a leading mesh axis of size G."""
+
+    # owned node arrays [G, Nl, ...]
+    node_feat: jax.Array
+    coord: jax.Array
+    vel: jax.Array
+    node_mask: jax.Array          # [G, Nl]
+    graph_id: jax.Array           # [G, Nl]
+    coord_target: jax.Array
+    # owned edge arrays [G, El, ...]; dst_local in [0, Nl), src_local indexes
+    # the [Nl + G*S] gather table; sentinel slots: dst_local = Nl, src = 0
+    dst_local: jax.Array
+    src_local: jax.Array
+    edge_attr: jax.Array
+    edge_mask: jax.Array
+    dst_count: jax.Array          # [G, Nl] exact global in-degrees
+    # halo: local row ids this shard contributes to the exchanged block
+    send_idx: jax.Array           # [G, S]
+    loc_mean: jax.Array           # [G, B, 3, C] (replicated copies)
+    n_graphs: int = struct.field(pytree_node=False, default=1)
+    n_shards: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def nodes_per_shard(self) -> int:
+        return self.node_feat.shape[1]
+
+
+def make_owner_sharded_batch(batch: GraphBatch, n_shards: int) -> OwnerShardedBatch:
+    """Host-side partitioner (numpy).  Node capacity must divide by G."""
+    N = batch.num_nodes
+    G = n_shards
+    if N % G:
+        raise ValueError(f"node capacity {N} must divide by {n_shards}")
+    Nl = N // G
+    dst = np.asarray(batch.dst)
+    src = np.asarray(batch.src)
+    ea = np.asarray(batch.edge_attr)
+    em = np.asarray(batch.edge_mask)
+    real = em & (dst < N)
+    owner_e = np.where(real, dst // Nl, -1)
+
+    # boundary (send) sets: rows of shard j used as src by OTHER shards
+    send_sets = []
+    for j in range(G):
+        foreign = real & (owner_e != j) & (src // Nl == j)
+        send_sets.append(np.unique(src[foreign]))
+    S = max([1] + [s.size for s in send_sets])
+    send_idx = np.zeros((G, S), np.int32)
+    # global -> halo-slot lookup
+    halo_pos = np.full(N, -1, np.int64)
+    for j, sset in enumerate(send_sets):
+        send_idx[j, : sset.size] = sset - j * Nl           # local row ids
+        halo_pos[sset] = Nl + j * S + np.arange(sset.size)
+
+    El = max(int((owner_e == i).sum()) for i in range(G))
+    El = max(El, 1)
+    dst_l = np.full((G, El), Nl, np.int32)     # sentinel: out of local range
+    src_l = np.zeros((G, El), np.int32)
+    ea_l = np.zeros((G, El, ea.shape[1]), ea.dtype)
+    em_l = np.zeros((G, El), bool)
+    cnt_l = np.zeros((G, Nl), np.float32)
+    for i in range(G):
+        sel = owner_e == i
+        ne = int(sel.sum())
+        d, s = dst[sel], src[sel]
+        dst_l[i, :ne] = d - i * Nl
+        own = s // Nl == i
+        src_l[i, :ne] = np.where(own, s - i * Nl, halo_pos[s])
+        ea_l[i, :ne] = ea[sel]
+        em_l[i, :ne] = True
+        cnt_l[i] = np.bincount(d - i * Nl, minlength=Nl).astype(np.float32)
+
+    def shard_nodes(a):
+        return jnp.asarray(np.asarray(a).reshape((G, Nl) + np.asarray(a).shape[1:]))
+
+    B = batch.n_graphs
+    return OwnerShardedBatch(
+        node_feat=shard_nodes(batch.node_feat),
+        coord=shard_nodes(batch.coord),
+        vel=shard_nodes(batch.vel),
+        node_mask=shard_nodes(batch.node_mask),
+        graph_id=shard_nodes(batch.graph_id),
+        coord_target=shard_nodes(batch.coord_target),
+        dst_local=jnp.asarray(dst_l),
+        src_local=jnp.asarray(src_l),
+        edge_attr=jnp.asarray(ea_l),
+        edge_mask=jnp.asarray(em_l),
+        dst_count=jnp.asarray(cnt_l),
+        send_idx=jnp.asarray(send_idx),
+        loc_mean=jnp.broadcast_to(
+            np.asarray(batch.loc_mean)[None], (G, B, 3, batch.loc_mean.shape[2])
+        ),
+        n_graphs=B,
+        n_shards=G,
+    )
+
+
+def _lin(p, x):
+    return x @ p["kernel"] + p["bias"] if "bias" in p else x @ p["kernel"]
+
+
+def _mlp(p, x, act_final=False):
+    y = jax.nn.silu(_lin(p["lin0"], x))
+    y = _lin(p["lin1"], y)
+    return jax.nn.silu(y) if act_final else y
+
+
+def _coord_mlp(p, x):
+    return _lin(p["head"], jax.nn.silu(_lin(p["lin0"], x)))
+
+
+def owner_sharded_fastegnn(
+    params: dict,
+    sb: OwnerShardedBatch,
+    *,
+    axis: str,
+    n_layers: int = 4,
+    gravity=None,
+):
+    """FastEGNN forward on owned node state inside ``shard_map``.
+
+    All leaves of ``sb`` arrive with the leading mesh axis stripped.
+    Returns (pred coords [Nl, 3] owned rows, virtual coords [B, 3, C]).
+    """
+    Nl = sb.node_feat.shape[0]
+    B = sb.n_graphs
+    gid, nmask = sb.graph_id, sb.node_mask
+    dst, srcl, emask = sb.dst_local, sb.src_local, sb.edge_mask
+
+    vh0 = params["virtual_node_feat"]          # [1, C, H]
+    C, H = vh0.shape[1], vh0.shape[2]
+    vh = jnp.broadcast_to(vh0, (B, C, H))
+    vx = jnp.transpose(sb.loc_mean, (0, 2, 1))  # [B, C, 3]
+    h = _lin(params["embedding_in"], sb.node_feat)
+    x, v = sb.coord, sb.vel
+    g = jnp.asarray(gravity, jnp.float32) if gravity is not None else None
+
+    for li in range(n_layers):
+        p = params[f"gcl_{li}"]
+        # ---- halo exchange: boundary rows of (h, x) ----
+        hx = jnp.concatenate([h, x], axis=-1)              # [Nl, H+3]
+        send = jnp.take(hx, sb.send_idx, axis=0)           # [S, H+3]
+        halo = jax.lax.all_gather(send, axis)              # [G, S, H+3]
+        table = jnp.concatenate(
+            [hx, halo.reshape(-1, hx.shape[1])], axis=0
+        )                                                  # [Nl + G*S, H+3]
+
+        # ---- local edge block (all in-edges of owned rows live here) ----
+        hx_dst = jnp.take(hx, dst, axis=0, mode="clip")
+        hx_src = jnp.take(table, srcl, axis=0, mode="clip")
+        h_dst, x_dst = hx_dst[:, :H], hx_dst[:, H:]
+        h_src, x_src = hx_src[:, :H], hx_src[:, H:]
+        diff = x_dst - x_src
+        radial = jnp.sum(diff**2, axis=-1, keepdims=True)
+        e_in = jnp.concatenate([h_dst, h_src, radial, sb.edge_attr], axis=-1)
+        m_e = jax.nn.silu(_lin(p["edge_mlp_lin1"], jax.nn.silu(
+            _lin(p["edge_mlp_lin0"], e_in))))
+        gate = _lin(p["coord_mlp_r_head"], jax.nn.silu(
+            _lin(p["coord_mlp_r_lin0"], m_e)))
+        trans = diff * gate
+        cnt = jnp.maximum(sb.dst_count, 1.0)
+        agg_x = segment_sum(trans, dst, Nl, mask=emask,
+                            indices_are_sorted=True) / cnt[:, None]
+        agg_e = segment_sum(m_e, dst, Nl, mask=emask,
+                            indices_are_sorted=True) / cnt[:, None]
+
+        # ---- dense virtual block on owned rows; pools psum over the axis --
+        vx_n = jnp.take(vx, gid, axis=0, mode="clip")
+        vh_n = jnp.take(vh, gid, axis=0, mode="clip")
+        vdiff = vx_n - x[:, None, :]
+        vrad = jnp.linalg.norm(vdiff, axis=-1, keepdims=True)
+        coord_mean = graph_mean_pool(x, gid, B, nmask, axis=axis)
+        m_x = vx - coord_mean[:, None, :]
+        gram = jnp.einsum("bci,bdi->bcd", m_x, m_x)
+        gram_n = jnp.take(gram, gid, axis=0, mode="clip")
+        ev_in = jnp.concatenate(
+            [jnp.broadcast_to(h[:, None, :], (Nl, C, H)), vh_n, vrad, gram_n],
+            axis=-1,
+        )
+        m_v = _mlp(p["edge_mlp_virtual"], ev_in, act_final=True)
+
+        x_new = x + agg_x
+        x_new = x_new + jnp.mean(
+            -vdiff * _coord_mlp(p["coord_mlp_r_virtual"], m_v), axis=1
+        )
+        x_new = x_new + _mlp(p["coord_mlp_vel"], h) * v
+        if g is not None:
+            x_new = x_new + _mlp(p["gravity_mlp"], h) * g
+
+        vx = vx + graph_mean_pool(
+            vdiff * _coord_mlp(p["coord_mlp_v_virtual"], m_v), gid, B, nmask,
+            axis=axis,
+        )
+        pool_mv = graph_mean_pool(m_v, gid, B, nmask, axis=axis)
+        vh = vh + _mlp(p["node_mlp_virtual"],
+                       jnp.concatenate([vh, pool_mv], axis=-1))
+
+        flat_mv = m_v.reshape(Nl, C * H)
+        h = h + _mlp(p["node_mlp"],
+                     jnp.concatenate([h, agg_e, flat_mv], axis=-1))
+        x = x_new
+
+    return x, jnp.transpose(vx, (0, 2, 1))
+
+
+def make_owner_gp_forward(
+    mesh: Mesh, axis: str = "graph", n_layers: int = 4, gravity=None
+) -> Callable:
+    """Jitted ``fn(params, sharded_batch) -> (coords [N, 3], vloc)``.
+
+    Per-shard outputs are concatenated back to the full node set (3 floats
+    per node — layer STATE stays O(N/G) per shard).
+    """
+
+    def local(params, sb):
+        sb_local = jax.tree.map(lambda a: a[0], sb)
+        x, vx = owner_sharded_fastegnn(
+            params, sb_local, axis=axis, n_layers=n_layers, gravity=gravity
+        )
+        return x[None], vx
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(params, sb):
+        x, vx = fn(params, sb)
+        return x.reshape(-1, 3), vx
+
+    return run
+
+
+def make_owner_gp_train_step(
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = "graph",
+    n_layers: int = 4,
+    gravity=None,
+    sigma: float = 1.5,
+    weight: float = 0.01,
+    sample: int = 3,
+    use_mmd: bool = True,
+) -> Callable:
+    """Owner-sharded training step: MSE over owned rows (+ MMD on the
+    all-gathered predicted coordinates — O(N*3) transient, not layer state);
+    parameter grads are exact via psum."""
+
+    def local_step(state: TrainState, sb_stacked, key):
+        sb = jax.tree.map(lambda a: a[0], sb_stacked)
+        G = sb.n_shards
+        # global node count is parameter-free: compute outside the grad
+        mloc = sb.node_mask.astype(jnp.float32)[:, None]
+        global_cnt = jax.lax.psum(jnp.sum(mloc) * 3.0, axis)
+
+        def loss_fn(params):
+            """LOCAL loss whose implicit sum over shards equals the global
+            loss: psum(per-shard grads) is then the exact parameter gradient.
+            Replicated compute (virtual chain, MMD on the gathered coords)
+            carries a 1/G weight per shard so it is not over-counted."""
+            x, vx = owner_sharded_fastegnn(
+                params, sb, axis=axis, n_layers=n_layers, gravity=gravity
+            )
+            local_se = jnp.sum((x - sb.coord_target) ** 2 * mloc)
+            loss_local = local_se / jnp.maximum(global_cnt, 1.0)
+            if use_mmd:
+                # gather ONLY the predicted coords ([N, 3] transient) for the
+                # reference's whole-graph MMD semantics
+                x_full = jax.lax.all_gather(x, axis).reshape(-1, 3)
+                mask_full = jax.lax.all_gather(sb.node_mask, axis).reshape(-1)
+                fake = GraphBatch(
+                    node_feat=x_full, coord=x_full, vel=x_full,
+                    node_mask=mask_full,
+                    graph_id=jax.lax.all_gather(sb.graph_id, axis).reshape(-1),
+                    dst=jnp.zeros((1,), jnp.int32),
+                    src=jnp.zeros((1,), jnp.int32),
+                    edge_attr=jnp.zeros((1, 1)),
+                    edge_mask=jnp.zeros((1,), bool),
+                    coord_target=x_full, loc_mean=sb.loc_mean,
+                    n_graphs=sb.n_graphs,
+                )
+                mmd = mmd_loss(x_full, vx, fake, key, sigma, sample,
+                               per_graph_sampling=True)
+                loss_local = loss_local + weight * mmd / G
+                return loss_local, (local_se, mmd)
+            return loss_local, (local_se, jnp.zeros(()))
+
+        (_, (local_se, mmd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = jax.lax.psum(grads, axis)
+        mse = jax.lax.psum(local_se, axis) / jnp.maximum(global_cnt, 1.0)
+        total = mse + weight * mmd
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(params=params, opt_state=opt_state,
+                          step=state.step + 1),
+            {"loss": total, "mse": mse, "mmd": mmd},
+        )
+
+    fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))

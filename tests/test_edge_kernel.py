@@ -108,3 +108,36 @@ def test_meta_slot_layout():
     # real (masked-in, in-range) edge count preserved
     n_real = int((emask & (dst < h.shape[0])).sum())
     assert int((np.asarray(meta.ssorted) < h.shape[0]).sum()) == n_real
+
+
+def test_fastegnn_fused_matches_unfused():
+    """Full-model check: FastEGNN with the fused kernel forced on (interpret
+    mode on CPU) matches the XLA path, forward and gradients."""
+    from fastegnn_tpu.models import FastEGNN
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import make_batch
+
+    rng = np.random.default_rng(5)
+    batch, _, _ = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.3)
+    m_on = FastEGNN(hidden=64, virtual_channels=3, n_layers=2, fuse_edge=True)
+    m_off = FastEGNN(hidden=64, virtual_channels=3, n_layers=2, fuse_edge=False)
+    params = m_off.init(jax.random.key(0), batch)["params"]
+
+    x_on, v_on = m_on.apply({"params": params}, batch)
+    x_off, v_off = m_off.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(x_on), np.asarray(x_off),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss(p, m):
+        xp, _ = m.apply({"params": p}, batch)
+        return jnp.sum((xp - batch.coord_target) ** 2 *
+                       batch.node_mask[:, None])
+
+    g_on = jax.grad(lambda p: loss(p, m_on))(params)
+    g_off = jax.grad(lambda p: loss(p, m_off))(params)
+    flat_on = jax.tree.leaves(g_on)
+    flat_off = jax.tree.leaves(g_off)
+    for a, b in zip(flat_on, flat_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)

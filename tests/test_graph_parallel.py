@@ -8,6 +8,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from jax.sharding import Mesh
+
+from jax.sharding import Mesh
 
 from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
 from fastegnn_tpu.models import FastEGNN
@@ -111,3 +114,99 @@ def test_gp_with_data_axis():
     state = TrainState.create(params, tx)
     state, metrics = step(state, stacked, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# owner-sharded graph parallelism (parallel/owner_graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _spatial_batch(n=256, seed=0):
+    """One spatially-sorted radius graph (locality keeps halos small)."""
+    import numpy as np
+    from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
+    from fastegnn_tpu.ops.neighbors import radius_graph_np
+
+    rng = np.random.default_rng(seed)
+    loc = rng.random((n, 3)).astype(np.float32)
+    order = np.argsort(loc[:, 0], kind="stable")   # 1-D spatial sort
+    loc = loc[order]
+    vel = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    dst, src = radius_graph_np(loc, 0.22)
+    o = np.argsort(dst, kind="stable")
+    dst, src = dst[o].astype(np.int32), src[o].astype(np.int32)
+    d0 = np.linalg.norm(loc[dst] - loc[src], axis=1, keepdims=True)
+    spec = GraphSpec(max_nodes=n, max_edges=dst.size, n_graphs=1,
+                     edge_attr_dim=2, virtual_channels=3)
+    g = pad_graph(
+        spec,
+        node_feat=np.concatenate(
+            [np.linalg.norm(vel, axis=1, keepdims=True),
+             np.ones((n, 1), np.float32)], axis=1),
+        coord=loc, vel=vel, dst=dst, src=src,
+        edge_attr=np.concatenate([d0, d0], 1).astype(np.float32),
+        coord_target=loc + vel,
+    )
+    return batch_graphs([g], spec, edge_align=256)
+
+
+def test_owner_sharded_forward_matches_unsharded():
+    from fastegnn_tpu.models import FastEGNN
+    from fastegnn_tpu.parallel.owner_graph import (
+        make_owner_gp_forward,
+        make_owner_sharded_batch,
+    )
+
+    G = 4
+    batch = _spatial_batch()
+    model = FastEGNN(hidden=64, virtual_channels=3, n_layers=2)
+    params = model.init(jax.random.key(0), batch)["params"]
+    ref_x, ref_v = model.apply({"params": params}, batch)
+
+    sb = make_owner_sharded_batch(batch, G)
+    # O(N/G) node state: every node leaf is [G, N/G, ...]
+    assert sb.node_feat.shape[:2] == (G, batch.num_nodes // G)
+    # halo stays a fraction of the owned rows for a spatially-sorted graph
+    assert sb.send_idx.shape[1] < batch.num_nodes // G
+
+    mesh = Mesh(np.asarray(jax.devices()[:G]), ("graph",))
+    fwd = make_owner_gp_forward(mesh, axis="graph", n_layers=2)
+    x, vx = fwd(params, sb)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref_x),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(ref_v),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_owner_sharded_train_step_matches_unsharded():
+    from fastegnn_tpu.models import FastEGNN
+    from fastegnn_tpu.parallel.owner_graph import (
+        make_owner_gp_train_step,
+        make_owner_sharded_batch,
+    )
+    from fastegnn_tpu.train import TrainState, torch_adam
+    from fastegnn_tpu.train.step import make_train_step
+
+    G = 4
+    batch = _spatial_batch(seed=3)
+    model = FastEGNN(hidden=64, virtual_channels=3, n_layers=2)
+    params = model.init(jax.random.key(1), batch)["params"]
+    tx = torch_adam(5e-4, 1e-12)
+    key = jax.random.key(7)
+
+    ref_step = make_train_step(model, tx, sigma=1.5, weight=0.01, sample=3,
+                               per_graph_sampling=True, donate=False)
+    ref_state, ref_metrics = ref_step(TrainState.create(params, tx), batch, key)
+
+    sb = make_owner_sharded_batch(batch, G)
+    mesh = Mesh(np.asarray(jax.devices()[:G]), ("graph",))
+    step = make_owner_gp_train_step(tx, mesh, axis="graph", n_layers=2,
+                                    sigma=1.5, weight=0.01, sample=3)
+    state, metrics = step(TrainState.create(params, tx), sb, key)
+
+    np.testing.assert_allclose(float(metrics["mse"]),
+                               float(ref_metrics["mse"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
