@@ -85,6 +85,9 @@ def train(
     )
     key = jax.random.key(seed)
     shuffle_rng = np.random.default_rng(seed)
+    for ds in (dataset_valid, dataset_test):
+        if hasattr(ds, "enable_collate_cache"):
+            ds.enable_collate_cache()
 
     log_dict = {"epochs": [], "loss": [], "loss_train": []}
     best = {"epoch_index": 0, "loss_valid": 1e8, "loss_test": 1e8, "loss_train": 1e8}

@@ -40,6 +40,11 @@ def load_datasets():
 
 
 def run_torch(epochs: int, out_json: str):
+    import jax
+
+    # keep this process off the (single-tenant) TPU tunnel: the dataset
+    # helpers touch jnp only for array staging
+    jax.config.update("jax_platform_name", "cpu")
     import torch
 
     from fastegnn_tpu.utils.torch_ref import load_reference_module

@@ -44,7 +44,7 @@ def make_timer(batch):
 
 def main():
     N_NODES, DEGREE, LAYERS, HIDDEN, C = 8000, 60, 4, 64, 3
-    batch, n_real = build_batch(N_NODES, DEGREE, channels=C)
+    batch, n_real, _ = build_batch(N_NODES, DEGREE, channels=C)
     E = batch.num_edges
     print(f"nodes={N_NODES} edges_padded={E} backend={jax.default_backend()}")
     timeit = make_timer(batch)

@@ -113,3 +113,23 @@ def test_fast_tfn_trains_one_step():
     state = TrainState.create(params, tx)
     state, metrics = step(state, graph, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.parametrize("cls_name", ["TFN", "SE3Transformer"])
+def test_pooled_scalar_heads_invariance(cls_name):
+    """The scalar-output TFN / SE(3)-Transformer (attention stack incl.
+    GMABSE3 + segment softmax) must be *invariant* under rotation
+    (reference ``models/se3_dynamics/models.py:15-205``)."""
+    from fastegnn_tpu.models.tfn.models import TFN, SE3Transformer
+
+    cls = {"TFN": TFN, "SE3Transformer": SE3Transformer}[cls_name]
+    rng = np.random.default_rng(11)
+    graph, _, _ = make_batch(rng, n_graphs=2, n_nodes=5)
+    model = cls(num_layers=1, atom_feature_size=2, num_channels=4,
+                num_degrees=2)
+    params = model.init(jax.random.key(0), graph.node_feat, graph)["params"]
+    y0 = model.apply({"params": params}, graph.node_feat, graph)
+    R = random_rotation(np.random.default_rng(12)).astype(np.float32)
+    y1 = model.apply({"params": params}, graph.node_feat, _rotate_batch(graph, R))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=5e-4, rtol=5e-4)
