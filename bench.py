@@ -100,7 +100,8 @@ def build_batch(n_nodes=8000, degree=60, n_graphs=1, channels=3, seed=0):
         max_nodes=n_nodes, max_edges=max_edges, n_graphs=n_graphs,
         edge_attr_dim=2, virtual_channels=channels,
     )
-    graphs = [pad_graph(spec, **r_) for r_ in raw]
+    # Morton-order nodes so the v3 kernel's source windows stay block-local
+    graphs = [pad_graph(spec, **r_, spatial_sort=True) for r_ in raw]
     n_real_edges = sum(int(g["n_edges"]) for g in graphs)
     deg = np.concatenate(
         [np.bincount(r_["dst"], minlength=n_nodes) for r_ in raw]

@@ -39,7 +39,13 @@ import numpy as np
 from flax import struct
 
 from fastegnn_tpu.ops.edge_kernel import EdgeKernelMeta, make_edge_kernel_meta
+from fastegnn_tpu.ops.edge_kernel_v3 import EdgeKernelV3Meta, make_v3_meta
 from fastegnn_tpu.ops.spmm import CSRMeta, make_csr_meta
+
+# v3 edge kernel holds the whole [node_capacity, 128] table (+ its backward
+# accumulator) resident in VMEM (~16 MB/core); beyond this many padded nodes
+# the batcher skips the v3 meta and models fall back to the v2 streaming path
+EK3_MAX_NODES = 16384
 
 
 @struct.dataclass
@@ -81,6 +87,9 @@ class GraphBatch:
     src_sorted: Optional[jax.Array] = None  # [E] = src[src_perm]
     # --- fused edge-kernel slot layout (ops/edge_kernel.py v2) ---
     ek: Optional[EdgeKernelMeta] = None
+    # --- window-tiled slot layout (ops/edge_kernel_v3.py; node table and
+    # backward scatter fully in-kernel — preferred when nodes fit VMEM) ---
+    ek3: Optional[EdgeKernelV3Meta] = None
     # --- static metadata ---
     n_graphs: int = struct.field(pytree_node=False, default=1)
 
@@ -119,6 +128,27 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def morton_order(coord: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Permutation sorting nodes along a 3-D Morton (Z-order) curve.
+
+    Spatially ordered node ids make radius-graph edges block-local, which is
+    what the v3 edge kernel's window tiling exploits (few source blocks per
+    destination block).  Node order is semantically free — graphs are
+    permutation-invariant — so datasets/batchers may apply this freely as
+    long as every per-node array and the edge endpoints are relabelled
+    consistently (``pad_graph(spatial_sort=True)`` does)."""
+    coord = _np(coord)
+    span = np.ptp(coord, axis=0).max() + 1e-9
+    q = ((coord - coord.min(axis=0)) / span * (2**bits - 1)).astype(np.uint64)
+    code = np.zeros(coord.shape[0], np.uint64)
+    for b in range(bits):
+        for d in range(coord.shape[1]):
+            code |= ((q[:, d] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                coord.shape[1] * b + d
+            )
+    return np.argsort(code, kind="stable")
+
+
 def pad_graph(
     spec: GraphSpec,
     *,
@@ -134,12 +164,26 @@ def pad_graph(
     local_src=None,
     local_edge_attr=None,
     dtype=np.float32,
+    spatial_sort: bool = False,
 ) -> dict:
     """Pad one raw graph's numpy arrays to the spec's single-graph capacities.
 
     Returns plain numpy dict (host side); use :func:`batch_graphs` to fuse
     several into a ``GraphBatch``.
     """
+    if spatial_sort:
+        perm = morton_order(coord)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.size)
+        node_feat, coord, vel, coord_target = (
+            _np(a)[perm] for a in (node_feat, coord, vel, coord_target)
+        )
+        dst, src = inv[_np(dst)], inv[_np(src)]
+        if node_attr is not None:
+            node_attr = _np(node_attr)[perm]
+        if local_dst is not None:
+            local_dst, local_src = inv[_np(local_dst)], inv[_np(local_src)]
+
     n = _np(coord).shape[0]
     e = _np(dst).shape[0]
     if n > spec.max_nodes or e > spec.max_edges:
@@ -191,6 +235,8 @@ def batch_graphs(
     build_csr: bool = True,
     edge_align: int = 1024,
     csr_rows: int = 128,
+    ek3_chunk: int = 512,
+    ek3_window: int = 4,
 ) -> GraphBatch:
     """Concatenate padded single graphs into one packed ``GraphBatch``.
 
@@ -270,12 +316,17 @@ def batch_graphs(
     )[:total_nodes].astype(np.float32)
 
     csr_dst = csr_src = src_perm = src_sorted = None
-    ek = None
+    ek = ek3 = None
     if build_csr and sort_edges:
         ek = make_edge_kernel_meta(
             dst, src, edge_attr, edge_mask, total_nodes,
             rows=csr_rows, chunk=edge_align,
         )
+        if total_nodes <= EK3_MAX_NODES and edge_attr.shape[1] <= 3:
+            ek3 = make_v3_meta(
+                dst, src, edge_attr, edge_mask, total_nodes,
+                chunk=ek3_chunk, W=ek3_window,
+            )
         csr_dst = make_csr_meta(dst, total_nodes, rows=csr_rows, chunk=edge_align)
         perm = np.argsort(
             np.where(edge_mask, src, total_nodes), kind="stable"
@@ -345,5 +396,6 @@ def batch_graphs(
         src_perm=src_perm,
         src_sorted=src_sorted,
         ek=ek,
+        ek3=ek3,
         n_graphs=b,
     )

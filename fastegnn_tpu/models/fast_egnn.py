@@ -156,7 +156,7 @@ class EGCLVel(fnn.Module):
             else jax.default_backend() == "tpu"
         )
         use_fused = (
-            graph.ek is not None
+            (graph.ek is not None or graph.ek3 is not None)
             and fuse
             and H == 64
             and graph.edge_attr.shape[1] <= 3
@@ -167,8 +167,6 @@ class EGCLVel(fnn.Module):
             and ax is None   # sharded layers keep the CSR path for now
         )
         if use_fused:
-            from fastegnn_tpu.ops.edge_kernel import fused_edge_block_v2
-
             ein_dim = 2 * H + 1 + graph.edge_attr.shape[1]
             eyeE = jnp.eye(ein_dim, dtype=jnp.float32)
             eyeH = jnp.eye(H, dtype=jnp.float32)
@@ -181,11 +179,22 @@ class EGCLVel(fnn.Module):
             Wg1 = r_lin0(eyeH) - bg1
             wg2 = r_head(eyeH)  # no bias
 
-            m_sum, trans_sum = fused_edge_block_v2(
-                h, x, graph.ek, W1, b1, W2, b2, Wg1, bg1, wg2,
-                compute_dtype=cd,
-                grad_stream_dtype=cd,
-            )
+            if graph.ek3 is not None:
+                # v3: node table + backward scatter fully in-kernel
+                from fastegnn_tpu.ops.edge_kernel_v3 import fused_edge_block_v3
+
+                m_sum, trans_sum = fused_edge_block_v3(
+                    h, x, graph.ek3, W1, b1, W2, b2, Wg1, bg1, wg2,
+                    compute_dtype=cd,
+                )
+            else:
+                from fastegnn_tpu.ops.edge_kernel import fused_edge_block_v2
+
+                m_sum, trans_sum = fused_edge_block_v2(
+                    h, x, graph.ek, W1, b1, W2, b2, Wg1, bg1, wg2,
+                    compute_dtype=cd,
+                    grad_stream_dtype=cd,
+                )
             if graph.dst_count is not None:
                 cnt = graph.dst_count
             else:

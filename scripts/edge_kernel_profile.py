@@ -30,11 +30,21 @@ def main():
     print("backend:", jax.default_backend())
     N, DEGREE = 8000, 60
     rng = np.random.default_rng(0)
-    r = 0.035
-    vol = N * (4 / 3) * np.pi * r**3 / DEGREE
-    side = vol ** (1 / 3)
-    loc = (rng.random((N, 3)) * side).astype(np.float32)
-    dst, src = radius_graph_np(loc, r)
+    import os
+    if os.environ.get("EK_CLUSTERED"):
+        from bench import _positions
+        loc, r = _positions(N, DEGREE, rng)
+        dst, src = radius_graph_np(loc, r)
+        actual = dst.size / N
+        if abs(actual - DEGREE) > 0.15 * DEGREE:
+            loc = (loc * (actual / DEGREE) ** (1 / 3)).astype(np.float32)
+            dst, src = radius_graph_np(loc, r)
+    else:
+        r = 0.035
+        vol = N * (4 / 3) * np.pi * r**3 / DEGREE
+        side = vol ** (1 / 3)
+        loc = (rng.random((N, 3)) * side).astype(np.float32)
+        dst, src = radius_graph_np(loc, r)
     o = np.argsort(dst, kind="stable")
     dst, src = dst[o].astype(np.int32), src[o].astype(np.int32)
     E = dst.size
