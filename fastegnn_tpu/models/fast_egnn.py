@@ -272,28 +272,79 @@ class EGCLVel(fnn.Module):
         agg_e_l = m_agg_l / cnt_l[:, None]   # node model always uses mean (:156)
 
         # ---- dense real<->virtual block on owned rows ----
-        vx_n = jnp.take(vx, gid_l, axis=0, mode="clip")   # [n_loc, C, 3]
-        vh_n = jnp.take(vh, gid_l, axis=0, mode="clip")   # [n_loc, C, H]
-        vdiff = vx_n - x_l[:, None, :]                    # [n_loc, C, 3]
-        vrad = jnp.linalg.norm(vdiff, axis=-1, keepdims=True)
+        # Channel-in-rows layout: every per-node-per-channel tensor is a 2D
+        # [n_loc*C, k] array (TPU pads a [N, C, k] 3D tensor to sublane 8 /
+        # lane 128 per trailing pair — 5-40x HBM waste for C=3, k<=64; the
+        # flat layout measured ~2x faster, scripts/vblock_lab.py).  On the
+        # bf16 path, per-graph gathers AND the masked mean-pools are one-hot
+        # [n_loc, B] matmuls so forward and backward both ride the MXU
+        # instead of XLA gather/scatter (another ~2x, same lab).
+        use_onehot = cd == jnp.bfloat16
+        if use_onehot:
+            onehot = (
+                (gid_l[:, None] == jnp.arange(n_graphs)[None, :])
+                & nmask_l[:, None]
+            ).astype(cd)                                  # [n_loc, B]
+            cnt_g = jnp.sum(onehot.astype(jnp.float32), axis=0)
+            if ax is not None:
+                cnt_g = jax.lax.psum(cnt_g, ax)
+            inv_cnt = 1.0 / jnp.maximum(cnt_g, 1.0)       # [B]
 
-        coord_mean = graph_mean_pool(x_l, gid_l, n_graphs, nmask_l, axis=ax)  # [B,3]
-        m_x = vx - coord_mean[:, None, :]                 # [B, C, 3]
+            def btake(zb):  # [B, K] -> [n_loc, K] (cd; masked rows -> 0)
+                return onehot @ zb.astype(cd)
+
+            def bpool(z):   # [n_loc, K] -> [B, K] masked mean, f32 accum
+                s = jax.lax.dot_general(
+                    onehot, z.astype(cd), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if ax is not None:
+                    s = jax.lax.psum(s, ax)
+                return s * inv_cnt[:, None]
+        else:
+            def btake(zb):  # exact f32 path (CPU tests / f32 prod)
+                return jnp.take(zb, gid_l, axis=0, mode="clip")
+
+            def bpool(z):
+                return graph_mean_pool(z, gid_l, n_graphs, nmask_l, axis=ax)
+
+        # virtual coords stay f32 (positions): plain row-take, [n_loc, 3C]
+        vx_n = jnp.take(
+            vx.reshape(n_graphs, C * 3), gid_l, axis=0, mode="clip"
+        )
+        vdiff = vx_n - jnp.tile(x_l, (1, C))              # [n_loc, 3C] f32
+        vrad = jnp.sqrt(
+            jnp.sum((vdiff * vdiff).reshape(n_loc, C, 3), axis=-1)
+        )                                                 # [n_loc, C]
+
+        coord_mean = (
+            bpool(x_l) if use_onehot
+            else graph_mean_pool(x_l, gid_l, n_graphs, nmask_l, axis=ax)
+        )                                                 # [B, 3]
+        m_x = vx - coord_mean[:, None, :].astype(vx.dtype)  # [B, C, 3]
         gram = jnp.einsum("bci,bdi->bcd", m_x, m_x)       # [B, C, C]
-        gram_n = jnp.take(gram, gid_l, axis=0, mode="clip")
+        vh_n = btake(vh.reshape(n_graphs, C * H))         # [n_loc, C*H]
+        gram_n = btake(gram.reshape(n_graphs, C * C))     # [n_loc, C*C]
         ev_in = jnp.concatenate(
-            [jnp.broadcast_to(h_l[:, None, :], (n_loc, C, H)), vh_n, vrad, gram_n],
+            [
+                jnp.repeat(h_l.astype(cd), C, axis=0).reshape(n_loc * C, H),
+                vh_n.reshape(n_loc * C, H).astype(cd),
+                vrad.reshape(n_loc * C, 1).astype(cd),
+                gram_n.reshape(n_loc * C, C).astype(cd),
+            ],
             axis=-1,
-        ).astype(cd)
-        m_v = edge_mlp_virtual(ev_in)                     # [n_loc, C, H] (cd)
+        )                                                 # [n_loc*C, 2H+1+C]
+        m_v = edge_mlp_virtual(ev_in)                     # [n_loc*C, H] (cd)
         if self.attention:
             m_v = m_v * fnn.sigmoid(att_mlp_virtual(m_v))
-        m_v32 = m_v.astype(jnp.float32)
 
         # ---- coordinate update, owned real rows ----
         x_new_l = x_l + agg_x_l
-        gate_xv = coord_mlp_r_virtual(m_v).astype(jnp.float32)
-        x_new_l = x_new_l + jnp.mean(-vdiff * gate_xv, axis=1)
+        gate_xv = coord_mlp_r_virtual(m_v).astype(jnp.float32)  # [n_loc*C, 1]
+        vdiff3 = vdiff.reshape(n_loc, C, 3)
+        x_new_l = x_new_l + jnp.einsum(
+            "ncd,nc->nd", -vdiff3, gate_xv.reshape(n_loc, C)
+        ) * (1.0 / C)
         x_new_l = x_new_l + coord_mlp_vel(h_l.astype(cd)).astype(jnp.float32) * v_l
         if self.has_gravity:
             x_new_l = x_new_l + (
@@ -301,24 +352,27 @@ class EGCLVel(fnn.Module):
             )
 
         # ---- virtual updates (replicated outputs; pools psum over ax) ----
-        gate_X = coord_mlp_v_virtual(m_v).astype(jnp.float32)
-        vx_new = vx + graph_mean_pool(
-            vdiff * gate_X, gid_l, n_graphs, nmask_l, axis=ax
-        )
-        pool_mv = graph_mean_pool(m_v32, gid_l, n_graphs, nmask_l, axis=ax)
+        gate_X = coord_mlp_v_virtual(m_v).astype(jnp.float32)   # [n_loc*C, 1]
+        vxg = (vdiff3 * gate_X.reshape(n_loc, C, 1)).reshape(n_loc, C * 3)
+        m_v_flat = m_v.reshape(n_loc, C * H)              # [C,H]-order (doc)
+        pooled = bpool(
+            jnp.concatenate(
+                [vxg.astype(m_v_flat.dtype) if use_onehot else vxg, m_v_flat],
+                axis=-1,
+            )
+        )                                                 # [B, 3C + CH] f32
+        vx_new = vx + pooled[:, : C * 3].reshape(n_graphs, C, 3)
+        pool_mv = pooled[:, C * 3 :].reshape(n_graphs, C, H)
         dvh = node_mlp_virtual(
             jnp.concatenate([vh, pool_mv], axis=-1).astype(cd)
         ).astype(jnp.float32)
         vh_new = vh + dvh if self.residual else dvh
 
         # ---- node feature update, owned rows ----
-        flat_mv = m_v32.reshape(n_loc, C * H)  # [C,H]-order flatten (see doc)
-        h_parts = [h_l, agg_e_l, flat_mv]
+        h_parts = [h_l.astype(cd), agg_e_l.astype(cd), m_v_flat.astype(cd)]
         if na_l is not None:
-            h_parts.append(na_l)
-        dh = node_mlp(
-            jnp.concatenate(h_parts, axis=-1).astype(cd)
-        ).astype(jnp.float32)
+            h_parts.append(na_l.astype(cd))
+        dh = node_mlp(jnp.concatenate(h_parts, axis=-1)).astype(jnp.float32)
         h_new_l = h_l + dh if self.residual else dh
 
         if ax is None:
