@@ -182,10 +182,13 @@ def main():
         gravity=(0.0, -1.0, 0.0), compute_dtype="bfloat16", fuse_edge=True,
     )
     fwd_fused = jax.jit(lambda p, g: model_f.apply({"params": p}, g)[0])
-    r = fwd_fused(state.params, batch); float(jnp.sum(r))
+    # materialize the param pytree ONCE: state.params is an unravel property
+    # and calling it per-iteration would dispatch 135 slices per call
+    params_f = jax.tree.map(lambda a: a, state.params)
+    r = fwd_fused(params_f, batch); float(jnp.sum(r))
     t0 = time.perf_counter()
     for _ in range(50):
-        r = fwd_fused(state.params, batch)
+        r = fwd_fused(params_f, batch)
     float(jnp.sum(r))
     fwd_ms = max(time.perf_counter() - t0 - overhead, 1e-9) / 50 * 1e3
 

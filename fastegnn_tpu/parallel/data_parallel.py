@@ -66,19 +66,19 @@ def make_dp_train_step(
         graph = _unstack_local(batch_stacked)
         # decorrelate MMD sampling across shards
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        (total, (mse, mmd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, graph, key
-        )
-        grads = jax.lax.pmean(grads, axis)
+        (total, (mse, mmd)), grads = jax.value_and_grad(
+            lambda pf, g, k: loss_fn(state.unravel(pf), g, k), has_aux=True
+        )(state.flat_params, graph, key)
+        grads = jax.lax.pmean(grads, axis)  # ONE flat-vector collective
         metrics = {
             "loss": jax.lax.pmean(total, axis),
             "mse": jax.lax.pmean(mse, axis),
             "mmd": jax.lax.pmean(mmd, axis),
         }
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = tx.update(grads, state.opt_state, state.flat_params)
+        flat = optax.apply_updates(state.flat_params, updates)
         new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1
+            flat_params=flat, opt_state=opt_state, step=state.step + 1
         )
         return new_state, metrics
 

@@ -124,18 +124,18 @@ def make_gp_train_step(
         )
         if data_axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
-        (total, (mse, mmd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, graph, key
-        )
+        (total, (mse, mmd)), grads = jax.value_and_grad(
+            lambda pf, g, k: loss_fn(state.unravel(pf), g, k), has_aux=True
+        )(state.flat_params, graph, key)
         for a in axes:
             grads = jax.lax.pmean(grads, a)
         metrics = {"loss": total, "mse": mse, "mmd": mmd}
         if data_axis is not None:
             metrics = {k: jax.lax.pmean(v, data_axis) for k, v in metrics.items()}
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = tx.update(grads, state.opt_state, state.flat_params)
+        flat = optax.apply_updates(state.flat_params, updates)
         new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1
+            flat_params=flat, opt_state=opt_state, step=state.step + 1
         )
         return new_state, metrics
 

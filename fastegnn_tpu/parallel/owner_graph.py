@@ -338,15 +338,15 @@ def make_owner_gp_train_step(
             return loss_local, (local_se, jnp.zeros(()))
 
         (_, (local_se, mmd)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            lambda pf: loss_fn(state.unravel(pf)), has_aux=True
+        )(state.flat_params)
         grads = jax.lax.psum(grads, axis)
         mse = jax.lax.psum(local_se, axis) / jnp.maximum(global_cnt, 1.0)
         total = mse + weight * mmd
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = tx.update(grads, state.opt_state, state.flat_params)
+        flat = optax.apply_updates(state.flat_params, updates)
         return (
-            state.replace(params=params, opt_state=opt_state,
+            state.replace(flat_params=flat, opt_state=opt_state,
                           step=state.step + 1),
             {"loss": total, "mse": mse, "mmd": mmd},
         )

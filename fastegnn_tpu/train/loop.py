@@ -102,8 +102,8 @@ def train(
             target={"params": state.params, "opt_state": state.opt_state,
                     "step": state.step, "epoch": 0},
         )
-        state = state.replace(
-            params=ck["params"], opt_state=ck["opt_state"], step=ck["step"]
+        state = state.with_params(ck["params"]).replace(
+            opt_state=ck["opt_state"], step=ck["step"]
         )
         start_epoch = int(ck.get("epoch", 0)) + 1
         if verbose:

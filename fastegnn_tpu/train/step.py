@@ -13,19 +13,42 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+from jax.flatten_util import ravel_pytree
 
 from fastegnn_tpu.graph import GraphBatch
 from fastegnn_tpu.train.loss import masked_mse, mmd_loss
 
 
 class TrainState(struct.PyTreeNode):
-    params: Any
+    """Parameters live as ONE flat f32 vector between steps.
+
+    A ~130-leaf param pytree costs ~2.5 ms/step of tiny-kernel launch
+    overhead in the optimizer alone on TPU (scripts/adam_lab.py: tree-Adam
+    2.53 ms vs flat 0.88 ms for the same 334k params); flattening turns
+    Adam into three fused vector ops and grad psum into ONE collective.
+    ``.params`` unravels on demand (eval/checkpoint cadence, off the hot
+    path); inside the jitted step the unravel slices fuse into consumers.
+    """
+
+    flat_params: jax.Array
     opt_state: Any
     step: jax.Array
+    unravel: Callable = struct.field(pytree_node=False)
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation):
-        return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+        flat, unravel = ravel_pytree(params)
+        return cls(flat_params=flat, opt_state=tx.init(flat),
+                   step=jnp.zeros((), jnp.int32), unravel=unravel)
+
+    @property
+    def params(self):
+        return self.unravel(self.flat_params)
+
+    def with_params(self, params) -> "TrainState":
+        """Return a state with ``params`` (a pytree) swapped in."""
+        flat, _ = ravel_pytree(params)
+        return self.replace(flat_params=flat.astype(self.flat_params.dtype))
 
 
 def _forward(model, params, graph: GraphBatch):
@@ -92,12 +115,16 @@ def make_train_step(
                            use_mmd, apply_fn)
 
     def step(state: TrainState, graph, key):
-        (total, (mse, mmd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, graph, key
+        def flat_loss(pf, graph, key):
+            return loss_fn(state.unravel(pf), graph, key)
+
+        (total, (mse, mmd)), grads = jax.value_and_grad(flat_loss, has_aux=True)(
+            state.flat_params, graph, key
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(params=params, opt_state=opt_state, step=state.step + 1)
+        updates, opt_state = tx.update(grads, state.opt_state, state.flat_params)
+        flat = optax.apply_updates(state.flat_params, updates)
+        new_state = state.replace(flat_params=flat, opt_state=opt_state,
+                                  step=state.step + 1)
         return new_state, {"loss": total, "mse": mse, "mmd": mmd}
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

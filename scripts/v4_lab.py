@@ -1,0 +1,372 @@
+"""v4 edge-kernel prototype: pre-folded table + view dots (no concats).
+
+Changes vs ops/edge_kernel_v3.py (measured there: ablating any compute
+stage saves <5% — the kernel is bound by per-chunk copies/issue, chiefly
+the [K, chunk] PT and [K, 70] T concatenations):
+
+- **Pre-folded node table**: Ud = h@W1d + b1 and Us = h@W1s are computed
+  ONCE per call by XLA ([N,64]@[64,64], trivial) and packed into a
+  [Npad, 256] table — dst role cols 0:128 = [Ud | x_hi | x_lo | 0],
+  src role cols 128:256 = [Us | -x_hi | -x_lo | 0].  The per-chunk fold
+  dots and both concats disappear; table slices are pure views at
+  128-lane granularity (hardware Mosaic rejects narrower lane slices).
+- **Contiguous src windows**: the packer constrains each chunk's source
+  blocks to a RANGE [w0, w0+W), so the window slice is ONE dynamic
+  sublane slice (no W-way stacked concat).
+- **Split dots**: big = [PdT; eaT]^T @ [td; eW1] + PsT^T @ tw — two MXU
+  dots on views instead of one on concatenated K=646 operands.
+
+Usage: python scripts/v4_lab.py [check] [time]
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastegnn_tpu.graph import morton_order
+from fastegnn_tpu.ops.neighbors import radius_graph_np
+from fastegnn_tpu.ops.edge_kernel_v3 import _silu_f32, _hi_lo
+
+H = 64
+ROWS = 128
+EA_ROWS = 6
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# packer: contiguous windows
+# ---------------------------------------------------------------------------
+
+
+def make_v4_meta(dst, src, edge_attr, edge_mask, num_nodes,
+                 chunk=512, W=2, G=4):
+    dst = np.asarray(dst); src = np.asarray(src)
+    edge_attr = np.asarray(edge_attr, np.float32)
+    fe = edge_attr.shape[1]
+    real = np.asarray(edge_mask) & (dst < num_nodes)
+    eidx = np.nonzero(real)[0]
+    dst_r, src_r = dst[eidx], src[eidx]
+    db, sb = dst_r // ROWS, src_r // ROWS
+    order = np.lexsort((sb, db))
+    eidx, dst_r, src_r, db, sb = (
+        eidx[order], dst_r[order], src_r[order], db[order], sb[order])
+
+    n_blocks = _round_up(num_nodes, ROWS) // ROWS
+    key = db.astype(np.int64) * n_blocks + sb
+    tb = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [key.size]])
+
+    chunks = []   # (db, w0, slots[(pos, gid)])
+    cur = None
+
+    def close():
+        nonlocal cur
+        if cur is not None:
+            chunks.append(cur); cur = None
+
+    max_w0 = max(n_blocks - W, 0)
+    for t in range(tb.size - 1):
+        lo, hi = int(tb[t]), int(tb[t + 1])
+        tdb, tsb = int(db[lo]), int(sb[lo])
+        pos = lo
+        while pos < hi:
+            if cur is not None and (cur[0] != tdb or tsb - cur[1] >= W
+                                    or tsb < cur[1]):
+                close()
+            if cur is None:
+                cur = (tdb, min(tsb, max_w0), [])
+            take = min(chunk - len(cur[2]), hi - pos)
+            if take == 0:
+                close(); continue
+            woff = tsb - cur[1]
+            cur[2].extend((int(p), woff * ROWS + int(src_r[p]) % ROWS)
+                          for p in range(pos, pos + take))
+            pos += take
+            if len(cur[2]) == chunk:
+                close()
+    close()
+
+    n_chunks = _round_up(max(len(chunks), 1), G)
+    chunks.extend((0, 0, []) for _ in range(n_chunks - len(chunks)))
+    n_slots = n_chunks * chunk
+    idsx = np.full((8, n_slots), -1, np.int32)
+    idsx[2:8] = 0
+    w0_arr = np.zeros(n_chunks, np.int32)
+    cdb_arr = np.zeros(n_chunks, np.int32)
+    ea_bits = np.ascontiguousarray(edge_attr).view(np.int32)
+    for ci, (cdb, w0, slots) in enumerate(chunks):
+        cdb_arr[ci] = cdb; w0_arr[ci] = w0
+        if slots:
+            p = np.asarray([s[0] for s in slots])
+            g = np.asarray([s[1] for s in slots])
+            sl = slice(ci * chunk, ci * chunk + len(slots))
+            idsx[0, sl] = dst_r[p] % ROWS
+            idsx[1, sl] = g
+            idsx[2:2 + fe, sl] = ea_bits[eidx[p]].T
+    return dict(idsx=jnp.asarray(idsx), w0=jnp.asarray(w0_arr),
+                cdb=jnp.asarray(cdb_arr), chunk=chunk, W=W, G=G,
+                n_slots=n_slots, n_chunks=n_chunks, n_blocks=n_blocks, fe=fe)
+
+
+# ---------------------------------------------------------------------------
+# fwd kernel
+# ---------------------------------------------------------------------------
+
+
+def _chain_fwd(big, wp_ref, vp3_ref, ea_z1, cd):
+    """big [R, 128]: cols 0:64 = Ud[dst]+Us[src], 64:67 hi(xd-xs),
+    67:70 lo(xd-xs).  Returns the full fwd bundle (bwd reuses it)."""
+    diff = big[:, H:H + 3] + big[:, H + 3:H + 6]
+    radial = jnp.sum(diff * diff, axis=1, keepdims=True)
+    w1r = vp3_ref[0]
+    z1 = big[:, 0:H] + radial * w1r[:, 0:H] + ea_z1
+    a1f, s1 = _silu_f32(z1)
+    a1 = a1f.astype(cd)
+    wp = wp_ref[:]
+    z2 = jax.lax.dot_general(
+        a1, wp[2 * H:3 * H], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + vp3_ref[2][:, 0:H]
+    mf, s2 = _silu_f32(z2)
+    m = mf.astype(cd)
+    zg = jax.lax.dot_general(
+        m, wp[3 * H:4 * H], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + vp3_ref[3][:, 0:H]
+    g1, sg = _silu_f32(zg)
+    gate = jnp.sum(g1 * vp3_ref[1][:, 0:H], axis=1, keepdims=True)
+    trans = diff * gate
+    return dict(diff=diff, radial=radial, z1=z1, s1=s1, a1=a1, z2=z2, s2=s2,
+                m=m, zg=zg, sg=sg, g1=g1, gate=gate, trans=trans)
+
+
+def _gather_v4(tab_ref, eW_ref, cdb_ref, w0_ref, blk, cg, W, cd):
+    chunk = blk.shape[1]
+    dl, gl = blk[0:1, :], blk[1:2, :]
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (ROWS, chunk), 0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (W * ROWS, chunk), 0)
+    PdT = (iota_d == dl).astype(cd)
+    PsT = (iota_s == gl).astype(cd)
+    eaT = jax.lax.bitcast_convert_type(blk[2:8, :], jnp.float32).astype(cd)
+    td = tab_ref[pl.ds(cdb_ref[cg] * ROWS, ROWS), 0:128]
+    tw = tab_ref[pl.ds(w0_ref[cg] * ROWS, W * ROWS), 128:256]
+    big = jax.lax.dot_general(
+        PdT, td, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    big = big + jax.lax.dot_general(
+        PsT, tw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ea_z1 = jax.lax.dot_general(
+        eaT, eW_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[:, 0:H]
+    return dict(PdT=PdT, PsT=PsT, eaT=eaT, big=big, ea_z1=ea_z1)
+
+
+def _fwd_kernel(cdb_ref, w0_ref, wp_ref, eW_ref, vp3_ref,
+                tab_ref, idsx_ref, out_ref, *, G, W, cd, chunk):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    gs = [
+        _gather_v4(tab_ref, eW_ref, cdb_ref, w0_ref,
+                   idsx_ref[:, g * chunk:(g + 1) * chunk], c * G + g, W, cd)
+        for g in range(G)
+    ]
+    big = jnp.concatenate([f["big"] for f in gs], axis=0)
+    ea_z1 = jnp.concatenate([f["ea_z1"] for f in gs], axis=0)
+    w = _chain_fwd(big, wp_ref, vp3_ref, ea_z1, cd)
+    t_hi, t_lo = _hi_lo(w["trans"], cd)
+    scat = jnp.concatenate(
+        [w["m"], t_hi, t_lo, jnp.zeros((G * chunk, 128 - H - 6), cd)], axis=1)
+    for g in range(G):
+        contrib = jax.lax.dot_general(
+            gs[g]["PdT"], scat[g * chunk:(g + 1) * chunk],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        o = pl.multiple_of(cdb_ref[c * G + g] * ROWS, ROWS)
+        out_ref[pl.ds(o, ROWS), :] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "W", "G", "n_seg_pad",
+                                             "interpret"))
+def fwd_v4(meta_arrs, wp, eW, vp3, tab, idsx, chunk, W, G, n_seg_pad,
+           interpret):
+    cdb, w0 = meta_arrs
+    n_super = cdb.shape[0] // G
+    cd = tab.dtype
+    prec = "highest" if cd == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, G=G, W=W, cd=cd, chunk=chunk),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_super,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # eW
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # vp3
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # tab
+                    pl.BlockSpec((8, G * chunk), lambda c, cdb, w0: (0, c)),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
+            interpret=interpret,
+        )(cdb, w0, wp, eW, vp3, tab, idsx)
+
+
+def build_tab_v4(h, x, W1, b1, cd):
+    """[Npad, 256]: dst cols [Ud|xhi|xlo|0], src cols [Us|-xhi|-xlo|0]."""
+    N = h.shape[0]
+    n_seg_pad = _round_up(N, ROWS)
+    hc = h.astype(cd)
+    Ud = jax.lax.dot_general(hc, W1[0:H].astype(cd), (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + b1
+    Us = jax.lax.dot_general(hc, W1[H:2 * H].astype(cd),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    x_hi = x.astype(cd).astype(jnp.float32)
+    x_lo = x - x_hi
+    z = jnp.zeros((N, 128 - H - 6), jnp.float32)
+    tab = jnp.concatenate(
+        [Ud, x_hi, x_lo, z, Us, -x_hi, -x_lo, z], axis=1)
+    tab = jnp.pad(tab, ((0, n_seg_pad - N), (0, 0)))
+    return tab.astype(cd), n_seg_pad
+
+
+def pack_w_v4(W1, b1, W2, b2, Wg1, bg1, wg2, fe, cd):
+    wp = jnp.concatenate([W1[0:H], W1[H:2 * H], W2, Wg1], axis=0).astype(cd)
+    eW = jnp.zeros((EA_ROWS, 128), jnp.float32)
+    eW = eW.at[0:fe, 0:H].set(W1[2 * H + 1:])
+    vp3 = jnp.zeros((8, 1, 128), jnp.float32)
+    vp3 = vp3.at[0, 0, 0:H].set(W1[2 * H])
+    vp3 = vp3.at[1, 0, 0:H].set(wg2[:, 0])
+    vp3 = vp3.at[2, 0, 0:H].set(b2)
+    vp3 = vp3.at[3, 0, 0:H].set(bg1)
+    return wp, eW.astype(cd), vp3
+
+
+def edge_block_v4(h, x, meta, W1, b1, W2, b2, Wg1, bg1, wg2, cd):
+    N = h.shape[0]
+    tab, n_seg_pad = build_tab_v4(h, x, W1, b1, cd)
+    wp, eW, vp3 = pack_w_v4(W1, b1, W2, b2, Wg1, bg1, wg2, meta["fe"], cd)
+    interpret = jax.default_backend() != "tpu"
+    out = fwd_v4((meta["cdb"], meta["w0"]), wp, eW, vp3, tab, meta["idsx"],
+                 meta["chunk"], meta["W"], meta["G"], n_seg_pad, interpret)
+    return out[:N, 0:H], out[:N, H:H + 3] + out[:N, H + 3:H + 6]
+
+
+# ---------------------------------------------------------------------------
+# oracle + harness
+# ---------------------------------------------------------------------------
+
+
+def oracle(h, x, dst, src, ea, W1, b1, W2, b2, Wg1, bg1, wg2):
+    hd, hs = h[dst], h[src]
+    diff = x[dst] - x[src]
+    radial = jnp.sum(diff * diff, axis=1, keepdims=True)
+    inp = jnp.concatenate([hd, hs, radial, ea], axis=1)
+    z1 = inp @ W1 + b1
+    a1 = jax.nn.silu(z1)
+    m = jax.nn.silu(a1 @ W2 + b2)
+    g = jax.nn.silu(m @ Wg1 + bg1) @ wg2
+    t = diff * g
+    N = h.shape[0]
+    msum = jax.ops.segment_sum(m, dst, N)
+    tsum = jax.ops.segment_sum(t, dst, N)
+    return msum, tsum
+
+
+def build_graph(N, DEGREE, seed=0):
+    rng = np.random.default_rng(seed)
+    from bench import _positions
+    loc, r = _positions(N, DEGREE, rng)
+    dst, src = radius_graph_np(loc, r)
+    actual = dst.size / N
+    if abs(actual - DEGREE) > 0.15 * DEGREE:
+        loc = (loc * (actual / DEGREE) ** (1 / 3)).astype(np.float32)
+        dst, src = radius_graph_np(loc, r)
+    perm = morton_order(loc)
+    inv = np.empty_like(perm); inv[perm] = np.arange(len(perm))
+    loc = loc[perm]
+    dst, src = inv[dst].astype(np.int32), inv[src].astype(np.int32)
+    E = dst.size
+    ea = rng.standard_normal((E, 2), np.float32)
+    return loc, dst, src, ea, rng
+
+
+def timeit(fn, label, n=30):
+    try:
+        r = fn()
+        float(jnp.sum(jax.tree.leaves(r)[0][:8].astype(jnp.float32)))
+    except Exception as e:
+        print(f"{label}: FAIL {str(e)[:300]}")
+        return None
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn()
+    float(jnp.sum(jax.tree.leaves(r)[0][:8].astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / n * 1e3
+    print(f"{label:<40s} {dt:8.3f} ms")
+    return dt
+
+
+def main():
+    modes = sys.argv[1:] or ["check", "time"]
+    print("backend:", jax.default_backend())
+    rng = np.random.default_rng(1)
+
+    def weights(fe, dtype=jnp.float32):
+        r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, dtype)
+        return (r(2 * H + 1 + fe, H), r(H), r(H, H), r(H), r(H, H), r(H),
+                r(H, 1))
+
+    if "check" in modes:
+        N, DEG = 640, 12
+        loc, dst, src, ea, _ = build_graph(N, DEG, seed=3)
+        meta = make_v4_meta(dst, src, ea, np.ones(dst.size, bool), N,
+                            chunk=256, W=2, G=2)
+        print(f"check: E={dst.size} slots={meta['n_slots']} "
+              f"chunks={meta['n_chunks']}")
+        h = jnp.asarray(rng.standard_normal((N, H)), jnp.float32)
+        x = jnp.asarray(loc)
+        ws = weights(2)
+        ms, ts = edge_block_v4(h, x, meta, *ws, cd=jnp.float32)
+        mo, to = oracle(h, x, jnp.asarray(dst), jnp.asarray(src),
+                        jnp.asarray(ea), *ws)
+        em = float(jnp.max(jnp.abs(ms - mo)) / (jnp.max(jnp.abs(mo)) + 1e-9))
+        et = float(jnp.max(jnp.abs(ts - to)) / (jnp.max(jnp.abs(to)) + 1e-9))
+        print(f"rel err msum {em:.2e} tsum {et:.2e}")
+        assert em < 1e-5 and et < 1e-5, "v4 fwd mismatch"
+        print("CHECK OK")
+
+    if "time" in modes:
+        N, DEG = 8000, 60
+        loc, dst, src, ea, _ = build_graph(N, DEG)
+        E = dst.size
+        h = jnp.asarray(rng.standard_normal((N, H)), jnp.float32)
+        x = jnp.asarray(loc)
+        ws = weights(2)
+        for chunk, W, G in [(512, 2, 4), (512, 2, 8), (512, 4, 4),
+                            (256, 2, 8), (1024, 4, 4), (512, 1, 8)]:
+            meta = make_v4_meta(dst, src, ea, np.ones(E, bool), N,
+                                chunk=chunk, W=W, G=G)
+            pad = (meta["n_slots"] - E) / E * 100
+            fn = jax.jit(lambda h, x, *w: edge_block_v4(
+                h, x, meta, *w, cd=jnp.bfloat16))
+            dt = timeit(lambda: fn(h, x, *ws),
+                        f"v4 fwd c{chunk} W{W} G{G} (pad {pad:.1f}%)")
+            if dt:
+                print(f"   -> {E / (dt / 1e3) / 1e6:.0f} M edges/s")
+
+
+if __name__ == "__main__":
+    main()
