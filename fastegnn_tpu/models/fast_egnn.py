@@ -156,7 +156,8 @@ class EGCLVel(fnn.Module):
             else jax.default_backend() == "tpu"
         )
         use_fused = (
-            (graph.ek is not None or graph.ek3 is not None)
+            (graph.ek is not None or graph.ek3 is not None
+             or graph.ek5 is not None)
             and fuse
             and H == 64
             and graph.edge_attr.shape[1] <= 3
@@ -179,8 +180,16 @@ class EGCLVel(fnn.Module):
             Wg1 = r_lin0(eyeH) - bg1
             wg2 = r_head(eyeH)  # no bias
 
-            if graph.ek3 is not None:
-                # v3: node table + backward scatter fully in-kernel
+            if graph.ek5 is not None:
+                # v5: feature-major chain, streamed dst blocks (fastest)
+                from fastegnn_tpu.ops.edge_kernel_v5 import fused_edge_block_v5
+
+                m_sum, trans_sum = fused_edge_block_v5(
+                    h, x, graph.ek5, W1, b1, W2, b2, Wg1, bg1, wg2,
+                    compute_dtype=cd,
+                )
+            elif graph.ek3 is not None:
+                # v3: slot-major window-tiled kernel
                 from fastegnn_tpu.ops.edge_kernel_v3 import fused_edge_block_v3
 
                 m_sum, trans_sum = fused_edge_block_v3(

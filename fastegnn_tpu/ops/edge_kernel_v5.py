@@ -1,0 +1,599 @@
+"""Fused FastEGNN edge block v5 — feature-major Pallas kernels.
+
+Computes the reference's real<->real edge block (``models/FastEGNN.py``
+lines 102-133 and 180-189 of GLAD-RUC/FastEGNN):
+
+    m_e    = silu(silu([h_dst, h_src, |x_dst-x_src|^2, e_attr] W1 + b1) W2 + b2)
+    gate_e = silu(m_e Wg1 + bg1) wg2
+    msum_n = sum_{e: dst=n} m_e        tsum_n = sum_{e: dst=n} diff_e*gate_e
+
+Fifth redesign; the fourth (scripts/v4_lab.py) measured ~3.3 ns/slot
+INVARIANT to chunk size, window width, grid factor and padding — the
+slot-major chain's narrow intermediates ([E,1] radial/gate, [E,3] diff)
+each burn full 128-lane vregs, so the kernel was VPU-traffic-bound, not
+MXU- or overhead-bound.  v5 therefore computes the whole chain
+**feature-major** ([64, chunk]: features on sublanes, edge slots on
+lanes), which makes every per-edge scalar a [1, chunk] row and cuts the
+elementwise traffic ~4x (measured: 1.9 vs 5.5 ms/layer fwd+bwd at the
+bench geometry).
+
+Design:
+
+- **Pre-folded node table** (built by XLA, [Npad, 256] cd): dst-role cols
+  0:128 = [Ud | x_hi | 0_5 | x_lo | 0_5 | 0_48], src-role cols 128:256 =
+  [Us | -x_hi | ... ] where Ud = h W1_dst + b1, Us = h W1_src.  The
+  gather dots then fold gather AND the first linear in one MXU pass, and
+  per-chunk table views are pure 128-lane dynamic slices (no concats —
+  the v3 kernel's [K, chunk] operand concatenations were its largest
+  hidden cost).  x rides as an exact bf16 hi+lo split at 8-row-aligned
+  offsets so feature-major rows slice on sublane-tile boundaries.
+- **Contiguous source windows**: the host packer (:func:`make_v5_meta`)
+  sorts edges by (dst_block, src_block) and packs chunks whose source
+  blocks lie in ONE range [w0, w0+W) — the window slice is a single
+  dynamic sublane slice.
+- **Same-dst-block superchunks**: each grid step's G chunks share one
+  destination block, so the step's output block (fwd) and upstream-grad
+  block (bwd) STREAM via scalar-prefetch index maps — consecutive
+  same-index steps keep the block in VMEM (classic revisit/reduction
+  pattern) — and only the src-role grad accumulator stays whole in VMEM.
+  This bounds bwd VMEM at ~10 MB (16 MB/core budget).
+- **Epilogue weight grads**: the backward scatters raw d_z1 sums per node
+  (dst role and src role); dh, dW1 and db1 then come from three [N,64]
+  XLA matmuls OUTSIDE the kernel — the chunk loop carries no weight-grad
+  dots for the gather layer.
+
+Precision: MLP path in ``compute_dtype`` (bf16 production; f32 exact with
+"highest" matmul precision for CPU-interpret tests), f32 accumulation
+everywhere, coordinates exact via hi/lo.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastegnn_tpu.ops.edge_kernel_v3 import _silu_f32, _dsilu, _hi_lo
+
+H_MAX = 64
+ROWS = 128
+EA_ROWS = 6
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class EdgeKernelV5Meta:
+    """Host-precomputed feature-major slot layout (see module docstring)."""
+
+    idsx: jax.Array      # [8, n_slots] i32 rows: 0 dst-local id (sentinel
+                         #  -1), 1 window gid = (sb-w0)*128 + src-local,
+                         #  2:2+fe edge-attr f32 bits, rest 0
+    w0: jax.Array        # [n_chunks] i32 window base src block
+    sdb: jax.Array       # [n_super] i32 dst block of each superchunk
+    chunk: int = struct.field(pytree_node=False, default=256)
+    W: int = struct.field(pytree_node=False, default=2)
+    G: int = struct.field(pytree_node=False, default=8)
+    n_slots: int = struct.field(pytree_node=False, default=0)
+    n_chunks: int = struct.field(pytree_node=False, default=0)
+    n_super: int = struct.field(pytree_node=False, default=0)
+    n_blocks: int = struct.field(pytree_node=False, default=0)
+    eattr_fe: int = struct.field(pytree_node=False, default=2)
+
+
+def make_v5_meta(
+    dst: np.ndarray,
+    src: np.ndarray,
+    edge_attr: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes: int,
+    chunk: int = 256,
+    W: int = 2,
+    G: int = 8,
+) -> EdgeKernelV5Meta:
+    """Pack edges into contiguous-window chunks grouped into same-dst-block
+    superchunks.
+
+    Edges are sorted by (dst_block, src_block); per dst block, chunks
+    accept tiles while their src block stays within [w0, w0+W).  Each dst
+    block's chunk run is padded to a multiple of G with same-block
+    sentinel chunks, and every block emits at least one (possibly empty)
+    superchunk so its streamed output block is always written.
+    """
+    dst = np.asarray(dst)
+    src = np.asarray(src)
+    edge_attr = np.asarray(edge_attr, np.float32)
+    fe = edge_attr.shape[1]
+    assert fe <= 3, f"edge_attr dim {fe} exceeds v5 packing capacity"
+    real = np.asarray(edge_mask) & (dst < num_nodes)
+    eidx = np.nonzero(real)[0]
+    dst_r, src_r = dst[eidx], src[eidx]
+    db, sb = dst_r // ROWS, src_r // ROWS
+    order = np.lexsort((sb, db))
+    eidx, dst_r, src_r, db, sb = (
+        eidx[order], dst_r[order], src_r[order], db[order], sb[order])
+
+    n_blocks = _round_up(num_nodes, ROWS) // ROWS
+    key = db.astype(np.int64) * n_blocks + sb
+    tb = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [key.size]])
+    max_w0 = max(n_blocks - W, 0)
+
+    # chunk assembly works on (pos, take, woff) RUNS, not per-edge python
+    # items — the tile loop is O(#tiles) (~hundreds), edges are materialized
+    # at the end with numpy slicing
+    per_db = {b: [] for b in range(n_blocks)}   # b -> [(w0, runs, n_slots)]
+    cur = None
+
+    def close():
+        nonlocal cur
+        if cur is not None and cur[2]:
+            per_db[cur[0]].append((cur[1], cur[2], cur[3]))
+        cur = None
+
+    for t in range(tb.size - 1):
+        lo, hi = int(tb[t]), int(tb[t + 1])
+        tdb, tsb = int(db[lo]), int(sb[lo])
+        pos = lo
+        while pos < hi:
+            if cur is not None and (cur[0] != tdb or tsb - cur[1] >= W
+                                    or tsb < cur[1]):
+                close()
+            if cur is None:
+                cur = [tdb, min(tsb, max_w0), [], 0]
+            take = min(chunk - cur[3], hi - pos)
+            if take == 0:
+                close()
+                continue
+            cur[2].append((pos, take, tsb - cur[1]))
+            cur[3] += take
+            pos += take
+            if cur[3] == chunk:
+                close()
+    close()
+
+    chunks = []                                 # (db, w0, runs)
+    for b in range(n_blocks):
+        run = per_db[b]
+        want = _round_up(max(len(run), 1), G)
+        chunks.extend((b, w0, runs) for (w0, runs, _) in run)
+        chunks.extend((b, 0, []) for _ in range(want - len(run)))
+
+    n_chunks = len(chunks)
+    n_super = n_chunks // G
+    n_slots = n_chunks * chunk
+    idsx = np.full((8, n_slots), -1, np.int32)
+    idsx[2:8] = 0
+    w0_arr = np.zeros(n_chunks, np.int32)
+    sdb = np.zeros(n_super, np.int32)
+    ea_bits = np.ascontiguousarray(edge_attr).view(np.int32)
+    dst_local = (dst_r % ROWS).astype(np.int32)
+    src_local = (src_r % ROWS).astype(np.int32)
+    for ci, (cdb, w0, runs) in enumerate(chunks):
+        w0_arr[ci] = w0
+        if ci % G == 0:
+            sdb[ci // G] = cdb
+        at = ci * chunk
+        for pos, take, woff in runs:
+            sl = slice(at, at + take)
+            pr = slice(pos, pos + take)
+            idsx[0, sl] = dst_local[pr]
+            idsx[1, sl] = woff * ROWS + src_local[pr]
+            idsx[2:2 + fe, sl] = ea_bits[eidx[pr]].T
+            at += take
+
+    return EdgeKernelV5Meta(
+        idsx=jnp.asarray(idsx), w0=jnp.asarray(w0_arr), sdb=jnp.asarray(sdb),
+        chunk=chunk, W=W, G=G, n_slots=n_slots, n_chunks=n_chunks,
+        n_super=n_super, n_blocks=n_blocks, eattr_fe=fe)
+
+
+# ---------------------------------------------------------------------------
+# packing (weights / node table)
+# ---------------------------------------------------------------------------
+
+
+def build_tab_v5(h, x, W1, b1, cd, n_seg_pad):
+    """[n_seg_pad, 256] node table, dst role cols 0:128, src role 128:256."""
+    N = h.shape[0]
+    hc = h.astype(cd)
+    Ud = jax.lax.dot_general(
+        hc, W1[0:H_MAX].astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1
+    Us = jax.lax.dot_general(
+        hc, W1[H_MAX:2 * H_MAX].astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    x_hi = x.astype(cd).astype(jnp.float32)
+    x_lo = x - x_hi
+    z5 = jnp.zeros((N, 5), jnp.float32)
+    z48 = jnp.zeros((N, 48), jnp.float32)
+    tab = jnp.concatenate(
+        [Ud, x_hi, z5, x_lo, z5, z48, Us, -x_hi, z5, -x_lo, z5, z48], axis=1)
+    tab = jnp.pad(tab, ((0, n_seg_pad - N), (0, 0)))
+    return tab.astype(cd)
+
+
+def pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, fe, cd):
+    """wp [256, 64]: W1d | W1s | W2 | Wg1 rows (all [in, out]);
+    eW [6, 128]: W1 edge-attr rows (cols 0:64);
+    vpc [64, 8] f32 columns: 0 w1r | 1 wg2 | 2 b2 | 3 bg1."""
+    H = H_MAX
+    wp = jnp.concatenate([W1[0:H], W1[H:2 * H], W2, Wg1], axis=0).astype(cd)
+    eW = jnp.zeros((EA_ROWS, 128), jnp.float32)
+    eW = eW.at[0:fe, 0:H].set(W1[2 * H + 1:])
+    vpc = jnp.zeros((H, 8), jnp.float32)
+    vpc = vpc.at[:, 0].set(W1[2 * H])
+    vpc = vpc.at[:, 1].set(wg2[:, 0])
+    vpc = vpc.at[:, 2].set(b2)
+    vpc = vpc.at[:, 3].set(bg1)
+    return wp, eW.astype(cd), vpc
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, blk, c, cg, W, cd):
+    """One-hot gather dots for one chunk; returns bigT [128, chunk] f32
+    (rows 0:64 Ud[dst]+Us[src], 64:72 hi(xd-xs), 72:80 lo) + masks."""
+    chunk = blk.shape[1]
+    dl, gl = blk[0:1, :], blk[1:2, :]
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (ROWS, chunk), 0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (W * ROWS, chunk), 0)
+    PdT = (iota_d == dl).astype(cd)
+    PsT = (iota_s == gl).astype(cd)
+    eaT = jax.lax.bitcast_convert_type(blk[2:8, :], jnp.float32).astype(cd)
+    td = tab_ref[pl.ds(sdb_ref[c] * ROWS, ROWS), 0:128]
+    tw = tab_ref[pl.ds(w0_ref[cg] * ROWS, W * ROWS), 128:256]
+    bigT = jax.lax.dot_general(
+        td, PdT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    bigT = bigT + jax.lax.dot_general(
+        tw, PsT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ea_z1T = jax.lax.dot_general(
+        eW_ref[:], eaT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dict(PdT=PdT, PsT=PsT, eaT=eaT, bigT=bigT, ea_z1T=ea_z1T)
+
+
+def _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd):
+    """Feature-major MLP/gate chain over the G-wide [128, R] gather."""
+    H = H_MAX
+    wp = wp_ref[:]
+    vpc = vpc_ref[:]
+    diff = bigT[64:72] + bigT[72:80]                      # [8, R], rows 3:8=0
+    radial = jnp.sum(diff * diff, axis=0, keepdims=True)  # [1, R]
+    z1 = (bigT[0:H] + jnp.broadcast_to(radial, (H, radial.shape[1]))
+          * vpc[:, 0:1] + ea_z1T[0:H])
+    a1f, s1 = _silu_f32(z1)
+    a1 = a1f.astype(cd)
+    z2 = jax.lax.dot_general(
+        wp[2 * H:3 * H], a1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + vpc[:, 2:3]
+    mf, s2 = _silu_f32(z2)
+    m = mf.astype(cd)
+    zg = jax.lax.dot_general(
+        wp[3 * H:4 * H], m, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + vpc[:, 3:4]
+    g1, sg = _silu_f32(zg)
+    gate = jnp.sum(g1 * vpc[:, 1:2], axis=0, keepdims=True)  # [1, R]
+    trans = diff * jnp.broadcast_to(gate, diff.shape)        # [8, R]
+    return dict(diff=diff, radial=radial, z1=z1, s1=s1, a1=a1, z2=z2, s2=s2,
+                m=m, zg=zg, sg=sg, g1=g1, gate=gate, trans=trans)
+
+
+def _chain_bwd(w, deT, wp_ref, vpc_ref, cd):
+    """Backward through the chain.  deT [128, R]: rows 0:64 d(m_sum)
+    gathered to slots, 64:72 d(t_sum) (rows 3:8 zero)."""
+    H = H_MAX
+    wp = wp_ref[:]
+    vpc = vpc_ref[:]
+    dm_e = deT[0:H]
+    dt_e = deT[64:72]
+    d_gate = jnp.sum(w["diff"] * dt_e, axis=0, keepdims=True)
+    d_diff = dt_e * jnp.broadcast_to(w["gate"], dt_e.shape)
+    d_zg = (jnp.broadcast_to(d_gate, (H, d_gate.shape[1])) * vpc[:, 1:2]
+            ) * _dsilu(w["zg"], w["sg"])
+    d_zg_c = d_zg.astype(cd)
+    d_m = dm_e + jax.lax.dot_general(
+        wp[3 * H:4 * H], d_zg_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_z2 = d_m * _dsilu(w["z2"], w["s2"])
+    d_z2_c = d_z2.astype(cd)
+    d_a1 = jax.lax.dot_general(
+        wp[2 * H:3 * H], d_z2_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_z1 = d_a1 * _dsilu(w["z1"], w["s1"])
+    d_radial = jnp.sum(d_z1 * vpc[:, 0:1], axis=0, keepdims=True)
+    d_diff = d_diff + 2.0 * w["diff"] * jnp.broadcast_to(
+        d_radial, w["diff"].shape)
+    return dict(d_z1=d_z1, d_diff=d_diff, d_z2=d_z2, d_z2_c=d_z2_c,
+                d_zg=d_zg, d_zg_c=d_zg_c, d_gate=d_gate)
+
+
+def _fwd_kernel(sdb_ref, w0_ref, wp_ref, eW_ref, vpc_ref,
+                tab_ref, idsx_ref, out_ref, *, G, W, cd, chunk):
+    c = pl.program_id(0)
+    first = jnp.logical_or(
+        c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
+
+    gs = [
+        _gather(tab_ref, eW_ref, sdb_ref, w0_ref,
+                idsx_ref[:, g * chunk:(g + 1) * chunk], c, c * G + g, W, cd)
+        for g in range(G)
+    ]
+    bigT = jnp.concatenate([f["bigT"] for f in gs], axis=1)
+    ea_z1T = jnp.concatenate([f["ea_z1T"] for f in gs], axis=1)
+    w = _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd)
+    t_hi, t_lo = _hi_lo(w["trans"], cd)
+    scat_T = jnp.concatenate(
+        [w["m"], t_hi, t_lo,
+         jnp.zeros((128 - H_MAX - 16, w["m"].shape[1]), cd)], axis=0)
+    contrib = None
+    for g in range(G):
+        d = jax.lax.dot_general(
+            gs[g]["PdT"], scat_T[:, g * chunk:(g + 1) * chunk],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        contrib = d if contrib is None else contrib + d
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] += contrib
+
+
+def _bwd_kernel(sdb_ref, w0_ref, wp_ref, eW_ref, vpc_ref,
+                tab_ref, idsx_ref, dout_ref,
+                daccd_ref, daccs_ref, dw_ref, *, G, W, cd, chunk):
+    H = H_MAX
+    c = pl.program_id(0)
+    first = jnp.logical_or(
+        c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
+
+    @pl.when(c == 0)
+    def _():
+        daccs_ref[:] = jnp.zeros_like(daccs_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    gs = []
+    des = []
+    dout_c = dout_ref[:].astype(cd)                      # [128n, 128f]
+    for g in range(G):
+        cg = c * G + g
+        blk = idsx_ref[:, g * chunk:(g + 1) * chunk]
+        f = _gather(tab_ref, eW_ref, sdb_ref, w0_ref, blk, c, cg, W, cd)
+        gs.append(f)
+        des.append(jax.lax.dot_general(
+            dout_c, f["PdT"], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))         # [128f, chunk]
+    bigT = jnp.concatenate([f["bigT"] for f in gs], axis=1)
+    ea_z1T = jnp.concatenate([f["ea_z1T"] for f in gs], axis=1)
+    deT = jnp.concatenate(des, axis=1)
+    w = _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd)
+    b = _chain_bwd(w, deT, wp_ref, vpc_ref, cd)
+
+    d_z1_c = b["d_z1"].astype(cd)
+    dhi, dlo = _hi_lo(b["d_diff"], cd)
+    dstuff = jnp.concatenate(
+        [d_z1_c, dhi, dlo,
+         jnp.zeros((128 - H - 16, d_z1_c.shape[1]), cd)], axis=0)
+
+    # dst-role scatter: streamed block, one accumulate per superchunk
+    contrib = None
+    for g in range(G):
+        d = jax.lax.dot_general(
+            gs[g]["PdT"], dstuff[:, g * chunk:(g + 1) * chunk],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        contrib = d if contrib is None else contrib + d
+
+    @pl.when(first)
+    def _():
+        daccd_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        daccd_ref[:] += contrib
+
+    # src-role scatter: resident accumulator, RMW per chunk
+    for g in range(G):
+        cg = c * G + g
+        dsw = jax.lax.dot_general(
+            gs[g]["PsT"], dstuff[:, g * chunk:(g + 1) * chunk],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [W*128, 128]
+        o = pl.multiple_of(w0_ref[cg] * ROWS, ROWS)
+        daccs_ref[pl.ds(o, W * ROWS), :] += dsw
+
+    # wide weight grads: rows 0:64 dW2 | 64:128 dWg1 | 128:134 dW1e |
+    # 134 dw1r | 135 dwg2 | 136 db2 | 137 dbg1 (cols 0:64)
+    dW2 = jax.lax.dot_general(
+        w["a1"], b["d_z2_c"], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dWg1 = jax.lax.dot_general(
+        w["m"], b["d_zg_c"], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    eaT = jnp.concatenate([f["eaT"] for f in gs], axis=1)
+    dW1e = jax.lax.dot_general(
+        eaT, d_z1_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw1r = jax.lax.dot_general(
+        w["radial"].astype(cd), d_z1_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    g1dg = w["g1"] * jnp.broadcast_to(b["d_gate"], w["g1"].shape)
+    dwg2 = jnp.sum(g1dg, axis=1, keepdims=True)
+    db2 = jnp.sum(b["d_z2"], axis=1, keepdims=True)
+    dbg1 = jnp.sum(b["d_zg"], axis=1, keepdims=True)
+    dw_ref[:] += jnp.concatenate(
+        [dW2, dWg1, dW1e, dw1r, dwg2.T, db2.T, dbg1.T,
+         jnp.zeros((144 - 138, 64), jnp.float32)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "W", "G", "n_seg_pad", "interpret"))
+def _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, chunk, W, G, n_seg_pad,
+              interpret):
+    sdb, w0 = meta_arrs
+    n_super = sdb.shape[0]
+    cd = tab.dtype
+    prec = "highest" if cd == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, G=G, W=W, cd=cd, chunk=chunk),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_super,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # eW
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # vpc
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # tab (resident)
+                    pl.BlockSpec((8, G * chunk), lambda c, sdb, w0: (0, c)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (ROWS, 128), lambda c, sdb, w0: (sdb[c], 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
+            interpret=interpret,
+        )(sdb, w0, wp, eW, vpc, tab, idsx)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "W", "G", "n_seg_pad", "interpret"))
+def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G,
+              n_seg_pad, interpret):
+    sdb, w0 = meta_arrs
+    n_super = sdb.shape[0]
+    cd = tab.dtype
+    prec = "highest" if cd == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, G=G, W=W, cd=cd, chunk=chunk),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_super,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # eW
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # vpc
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # tab (resident)
+                    pl.BlockSpec((8, G * chunk), lambda c, sdb, w0: (0, c)),
+                    pl.BlockSpec(
+                        (ROWS, 128), lambda c, sdb, w0: (sdb[c], 0)),  # dout
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (ROWS, 128), lambda c, sdb, w0: (sdb[c], 0)),  # daccd
+                    pl.BlockSpec(memory_space=pltpu.VMEM),             # daccs
+                    pl.BlockSpec(memory_space=pltpu.VMEM),             # dw
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((144, 64), jnp.float32),
+            ),
+            interpret=interpret,
+        )(sdb, w0, wp, eW, vpc, tab, idsx, dout)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def fused_edge_block_v5(
+    h: jax.Array,                 # [N, H]
+    x: jax.Array,                 # [N, 3] f32
+    meta: EdgeKernelV5Meta,
+    W1, b1, W2, b2, Wg1, bg1, wg2,
+    compute_dtype=jnp.float32,
+):
+    """Fully-fused edge block: ``(m_sum [N, H], trans_sum [N, 3])`` — f32
+    sums over incoming edges (divide by in-degree outside for means).
+
+    Differentiable in (h, x, weights); Pallas forward AND backward with
+    in-kernel gather/scatter on both endpoints.  Same contract as
+    ``fused_edge_block_v3`` (reference math: ``models/FastEGNN.py:102-133``).
+    """
+    N, H = h.shape
+    assert H == H_MAX, "edge kernel v5 assumes hidden == 64"
+    Fe = meta.eattr_fe
+    cd = jnp.dtype(compute_dtype)
+    chunk, W, G = meta.chunk, meta.W, meta.G
+    n_seg_pad = max(_round_up(N, ROWS), W * ROWS)
+    interpret = jax.default_backend() != "tpu"
+    meta_arrs = (meta.sdb, meta.w0)
+    idsx = meta.idsx
+
+    @jax.custom_vjp
+    def f(h, x, W1, b1, W2, b2, Wg1, bg1, wg2):
+        return fwd(h, x, W1, b1, W2, b2, Wg1, bg1, wg2)[0]
+
+    def fwd(h, x, W1, b1, W2, b2, Wg1, bg1, wg2):
+        tab = build_tab_v5(h, x, W1, b1, cd, n_seg_pad)
+        wp, eW, vpc = pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, Fe, cd)
+        out = _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx,
+                        chunk, W, G, n_seg_pad, interpret)
+        m_sum = out[:N, 0:H]
+        t_sum = (out[:N, H:H + 8] + out[:N, H + 8:H + 16])[:, 0:3]
+        return (m_sum, t_sum), (h, tab, wp, eW, vpc, W1)
+
+    def bwd(res, g):
+        h, tab, wp, eW, vpc, W1 = res
+        d_msum, d_tsum = g
+        dt8 = jnp.pad(d_tsum.astype(jnp.float32), ((0, 0), (0, 5)))
+        dout = (
+            jnp.zeros((n_seg_pad, 128), jnp.float32)
+            .at[:N, 0:H].set(d_msum.astype(jnp.float32))
+            .at[:N, H:H + 8].set(dt8)
+        )
+        daccd, daccs, dw = _bwd_impl(
+            meta_arrs, wp, eW, vpc, tab, idsx, dout,
+            chunk, W, G, n_seg_pad, interpret)
+        # epilogue: per-node dUd/dUs -> dh, dW1, db1 (three XLA matmuls)
+        dUd = daccd[:N, 0:H]
+        dUs = daccs[:N, 0:H]
+        dh = (
+            jax.lax.dot_general(
+                dUd.astype(cd), W1[0:H].astype(cd), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                dUs.astype(cd), W1[H:2 * H].astype(cd),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        ).astype(h.dtype)
+        hc = h.astype(cd)
+        dW1d = jax.lax.dot_general(
+            hc, dUd.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dW1s = jax.lax.dot_general(
+            hc, dUs.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db1 = jnp.sum(dUd, axis=0)
+        # x grads: dst role stored +x, src role stored -x (sign fold)
+        dxd = daccd[:N, H:H + 8] + daccd[:N, H + 8:H + 16]
+        dxs = daccs[:N, H:H + 8] + daccs[:N, H + 8:H + 16]
+        dx = (dxd - dxs)[:, 0:3]
+        dW1 = jnp.concatenate(
+            [dW1d, dW1s, dw[134:135], dw[128:128 + Fe]], axis=0)
+        return (dh, dx, dW1, db1, dw[0:64], dw[136], dw[64:128], dw[137],
+                dw[135][:, None])
+
+    f.defvjp(fwd, bwd)
+    return f(h, x, W1, b1, W2, b2, Wg1, bg1, wg2)

@@ -1,0 +1,97 @@
+"""v5 feature-major fused edge kernel vs the unfused composition (CPU
+interpret mode).
+
+Same contract as the v3 kernel (reference ``models/FastEGNN.py:102-133``,
+180-189): per-edge 2-layer silu MLP, scalar gate, per-destination sums of
+messages and gated coordinate differences — gather AND scatter in-kernel,
+chain computed feature-major, dst blocks streamed per superchunk.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastegnn_tpu.ops.edge_kernel_v5 import fused_edge_block_v5, make_v5_meta
+
+from test_edge_kernel_v3 import _ref_edge_block, _setup
+
+H = 64
+
+
+@pytest.mark.parametrize("chunk,window,G", [(256, 2, 2), (128, 4, 4)])
+def test_forward_matches_unfused(chunk, window, G):
+    h, x, dst, src, ea, w = _setup()
+    meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), h.shape[0],
+                        chunk=chunk, W=window, G=G)
+    ms, ts = fused_edge_block_v5(h, x, meta, *w)
+    ms_r, ts_r = _ref_edge_block(h, x, jnp.asarray(dst), jnp.asarray(src),
+                                 jnp.asarray(ea), *w)
+    np.testing.assert_allclose(ms, ms_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(ts, ts_r, rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_unfused():
+    h, x, dst, src, ea, w = _setup()
+    meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), h.shape[0],
+                        chunk=256, W=2, G=2)
+    rng = np.random.default_rng(1)
+    cot_m = jnp.asarray(rng.normal(size=(h.shape[0], H)), jnp.float32)
+    cot_t = jnp.asarray(rng.normal(size=(h.shape[0], 3)), jnp.float32)
+
+    def loss_k(h, x, *w):
+        ms, ts = fused_edge_block_v5(h, x, meta, *w)
+        return jnp.sum(ms * cot_m) + jnp.sum(ts * cot_t)
+
+    def loss_r(h, x, *w):
+        ms, ts = _ref_edge_block(h, x, jnp.asarray(dst), jnp.asarray(src),
+                                 jnp.asarray(ea), *w)
+        return jnp.sum(ms * cot_m) + jnp.sum(ts * cot_t)
+
+    gk = jax.grad(loss_k, argnums=tuple(range(9)))(h, x, *w)
+    gr = jax.grad(loss_r, argnums=tuple(range(9)))(h, x, *w)
+    for a, b in zip(gk, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-5)
+
+
+def test_uncovered_dst_block_is_zero():
+    # every dst block gets at least one (empty) superchunk, so the streamed
+    # output block of an edge-less region must come back exactly zero
+    h, x, dst, src, ea, w = _setup(isolate_tail=True)
+    n = h.shape[0]
+    meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), n,
+                        chunk=256, W=2, G=2)
+    ms, ts = fused_edge_block_v5(h, x, meta, *w)
+    lo = (n - 1) // 128 * 128
+    np.testing.assert_array_equal(np.asarray(ms[lo:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(ts[lo:]), 0.0)
+    g = jax.grad(
+        lambda h: jnp.sum(fused_edge_block_v5(h, x, meta, *w)[0])
+    )(h)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_bf16_compute_dtype_close():
+    h, x, dst, src, ea, w = _setup()
+    meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), h.shape[0],
+                        chunk=256, W=2, G=2)
+    ms, ts = fused_edge_block_v5(h, x, meta, *w, compute_dtype=jnp.bfloat16)
+    ms_r, ts_r = _ref_edge_block(h, x, jnp.asarray(dst), jnp.asarray(src),
+                                 jnp.asarray(ea), *w)
+    scale = float(jnp.max(jnp.abs(ms_r)))
+    assert float(jnp.max(jnp.abs(ms - ms_r))) < 2e-2 * scale
+    scale_t = float(jnp.max(jnp.abs(ts_r)))
+    assert float(jnp.max(jnp.abs(ts - ts_r))) < 2e-2 * scale_t
+
+
+def test_small_graph_window_exceeds_blocks():
+    # N < W*128: the src window slice must stay in-bounds via table padding
+    h, x, dst, src, ea, w = _setup(n=100, deg=6)
+    meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), 100,
+                        chunk=128, W=2, G=2)
+    ms, ts = fused_edge_block_v5(h, x, meta, *w)
+    ms_r, ts_r = _ref_edge_block(h, x, jnp.asarray(dst), jnp.asarray(src),
+                                 jnp.asarray(ea), *w)
+    np.testing.assert_allclose(ms, ms_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(ts, ts_r, rtol=2e-5, atol=2e-5)
