@@ -100,3 +100,15 @@ def test_protein_vnegnn_trains_one_step(protein_npz):
     state = TrainState.create(params, tx)
     state, metrics = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_iter_batches_prefetch_equivalence(sim_dir):
+    """Threaded prefetch must yield byte-identical batches in order."""
+    ds = SimulationDataset(sim_dir, partition="train", virtual_channels=2)
+    a = list(ds.iter_batches(2, rng=np.random.default_rng(3), prefetch=0))
+    b = list(ds.iter_batches(2, rng=np.random.default_rng(3), prefetch=2))
+    assert len(a) == len(b) and len(a) >= 1
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ba.coord),
+                                      np.asarray(bb.coord))
+        np.testing.assert_array_equal(np.asarray(ba.dst), np.asarray(bb.dst))
