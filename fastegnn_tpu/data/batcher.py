@@ -81,7 +81,7 @@ class GraphDataset:
             return
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        with ThreadPoolExecutor(max_workers=min(prefetch, 4)) as pool:
             pending = [
                 pool.submit(self.collate, idx)
                 for idx in index_lists[:prefetch]

@@ -66,6 +66,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.pack_v5.restype = ctypes.c_int64
+        lib.pack_v5.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
         _LIB = lib
         return _LIB
 
@@ -119,3 +128,43 @@ def bincount_f32(keys: np.ndarray, n_bins: int) -> np.ndarray:
     out = np.empty(n_bins, np.float32)
     lib.bincount(_iptr(k), k.shape[0], n_bins, _fptr(out))
     return out
+
+
+def pack_v5_native(
+    dst: np.ndarray,
+    src: np.ndarray,
+    edge_attr: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes: int,
+    chunk: int,
+    W: int,
+    G: int,
+):
+    """C++ v5 edge-kernel packer.  Returns ``(idsx [8, n_slots] i32,
+    w0 [n_chunks] i32, sdb [n_super] i32)`` or ``None`` when the native
+    library is unavailable (caller falls back to the python packer).
+
+    Same greedy algorithm as ``ops/edge_kernel_v5.make_v5_meta`` — the two
+    are tested bit-identical (tests/test_native.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(dst, np.int32)
+    s = np.ascontiguousarray(src, np.int32)
+    ea = np.ascontiguousarray(edge_attr, np.float32)
+    mk = np.ascontiguousarray(edge_mask, np.uint8)
+    fe = ea.shape[1]
+    n_chunks = lib.pack_v5(
+        _iptr(d), _iptr(s), _fptr(ea),
+        mk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        d.shape[0], fe, num_nodes, chunk, W, G, None, None, None, 0)
+    idsx = np.empty((8, n_chunks * chunk), np.int32)
+    w0 = np.empty(n_chunks, np.int32)
+    sdb = np.empty(n_chunks // G, np.int32)
+    got = lib.pack_v5(
+        _iptr(d), _iptr(s), _fptr(ea),
+        mk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        d.shape[0], fe, num_nodes, chunk, W, G,
+        _iptr(idsx), _iptr(w0), _iptr(sdb), n_chunks)
+    assert got == n_chunks, "pack_v5 capacity mismatch"
+    return idsx, w0, sdb

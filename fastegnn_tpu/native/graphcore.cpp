@@ -123,4 +123,146 @@ void bincount(const int32_t* keys, int64_t n, int64_t n_bins,
   }
 }
 
+// ---------------------------------------------------------------------------
+// v5 edge-kernel packer (see fastegnn_tpu/ops/edge_kernel_v5.py::make_v5_meta
+// — this is the same greedy contiguous-window / same-dst-block-superchunk
+// algorithm; semantics must stay bit-identical, tested against the python
+// implementation).  The python packer costs ~200 ms at Water-3D scale, which
+// would serialize with a ~10 ms device step; this runs in a few ms.
+//
+// Two-phase: call with idsx == nullptr to get n_chunks (slot/superchunk
+// counts follow from chunk/G); then call again with output buffers sized
+// idsx[8 * n_chunks * chunk], w0[n_chunks], sdb[n_chunks / G].
+// Returns n_chunks, or -1 if a provided buffer is too small
+// (capacity_chunks < n_chunks).
+
+namespace {
+struct V5Run {            // a contiguous slice of sorted edges in one chunk
+  int64_t pos;            // start in the sorted edge order
+  int64_t take;
+  int32_t woff;           // src-block offset within the chunk's window
+};
+struct V5Chunk {
+  int32_t db;
+  int32_t w0;
+  std::vector<V5Run> runs;
+  int64_t filled = 0;
+};
+}  // namespace
+
+int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
+                const uint8_t* mask, int64_t n_edges, int64_t fe,
+                int64_t num_nodes, int64_t chunk, int64_t W, int64_t G,
+                int32_t* idsx, int32_t* w0_out, int32_t* sdb_out,
+                int64_t capacity_chunks) {
+  const int64_t kRows = 128;
+  const int64_t n_blocks = (num_nodes + kRows - 1) / kRows;
+  const int64_t max_w0 = n_blocks > W ? n_blocks - W : 0;
+
+  // real edges, stably sorted by (dst_block, src_block) via counting sort
+  // over the n_blocks^2 tile keys (comparator sorts cost ~140 ms at 580k
+  // edges; this is O(E + tiles))
+  const int64_t n_keys = n_blocks * n_blocks;
+  std::vector<int64_t> bucket(n_keys + 1, 0);
+  std::vector<int32_t> ekey(n_edges);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    if (mask[e] && dst[e] < num_nodes) {
+      const int32_t k = static_cast<int32_t>(
+          (dst[e] / kRows) * n_blocks + src[e] / kRows);
+      ekey[e] = k;
+      ++bucket[k + 1];
+    } else {
+      ekey[e] = -1;
+    }
+  }
+  for (int64_t k = 0; k < n_keys; ++k) bucket[k + 1] += bucket[k];
+  const int64_t m = bucket[n_keys];
+  std::vector<int64_t> order(m);
+  {
+    std::vector<int64_t> fill(bucket.begin(), bucket.end() - 1);
+    for (int64_t e = 0; e < n_edges; ++e)
+      if (ekey[e] >= 0) order[fill[ekey[e]]++] = e;
+  }
+
+  // greedy pack into per-db chunk lists
+  std::vector<std::vector<V5Chunk>> per_db(n_blocks);
+  V5Chunk cur;
+  bool open = false;
+  auto close = [&]() {
+    if (open && !cur.runs.empty()) per_db[cur.db].push_back(std::move(cur));
+    cur = V5Chunk();
+    open = false;
+  };
+  int64_t t0 = 0;
+  while (t0 < m) {
+    const int32_t tdb = dst[order[t0]] / kRows;
+    const int32_t tsb = src[order[t0]] / kRows;
+    int64_t t1 = t0;
+    while (t1 < m && dst[order[t1]] / kRows == tdb &&
+           src[order[t1]] / kRows == tsb)
+      ++t1;
+    int64_t pos = t0;
+    while (pos < t1) {
+      if (open && (cur.db != tdb || tsb - cur.w0 >= W || tsb < cur.w0))
+        close();
+      if (!open) {
+        cur.db = tdb;
+        cur.w0 = static_cast<int32_t>(std::min<int64_t>(tsb, max_w0));
+        open = true;
+      }
+      const int64_t take = std::min(chunk - cur.filled, t1 - pos);
+      if (take == 0) {
+        close();
+        continue;
+      }
+      cur.runs.push_back({pos, take, static_cast<int32_t>(tsb - cur.w0)});
+      cur.filled += take;
+      pos += take;
+      if (cur.filled == chunk) close();
+    }
+    t0 = t1;
+  }
+  close();
+
+  int64_t n_chunks = 0;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    int64_t want = per_db[b].empty() ? 1 : per_db[b].size();
+    want = ((want + G - 1) / G) * G;
+    n_chunks += want;
+  }
+  if (idsx == nullptr) return n_chunks;
+  if (n_chunks > capacity_chunks) return -1;
+
+  const int64_t n_slots = n_chunks * chunk;
+  // rows 0,1 default -1 (sentinel); rows 2..7 default 0
+  std::fill(idsx, idsx + 2 * n_slots, -1);
+  std::fill(idsx + 2 * n_slots, idsx + 8 * n_slots, 0);
+  const int32_t* ea_bits = reinterpret_cast<const int32_t*>(ea);
+
+  int64_t ci = 0;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    int64_t want = per_db[b].empty() ? 1 : per_db[b].size();
+    want = ((want + G - 1) / G) * G;
+    for (int64_t k = 0; k < want; ++k, ++ci) {
+      const bool realc = k < static_cast<int64_t>(per_db[b].size());
+      w0_out[ci] = realc ? per_db[b][k].w0 : 0;
+      if (ci % G == 0) sdb_out[ci / G] = static_cast<int32_t>(b);
+      if (!realc) continue;
+      int64_t at = ci * chunk;
+      for (const V5Run& r : per_db[b][k].runs) {
+        for (int64_t i = 0; i < r.take; ++i) {
+          const int64_t e = order[r.pos + i];
+          const int64_t s = at + i;
+          idsx[s] = dst[e] % kRows;                        // row 0
+          idsx[n_slots + s] = r.woff * kRows + src[e] % kRows;  // row 1
+          for (int64_t f = 0; f < fe; ++f)
+            idsx[(2 + f) * n_slots + s] = ea_bits[e * fe + f];
+        }
+        at += r.take;
+      }
+    }
+  }
+  return n_chunks;
+}
+
 }  // extern "C"

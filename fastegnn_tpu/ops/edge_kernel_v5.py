@@ -112,6 +112,23 @@ def make_v5_meta(
     edge_attr = np.asarray(edge_attr, np.float32)
     fe = edge_attr.shape[1]
     assert fe <= 3, f"edge_attr dim {fe} exceeds v5 packing capacity"
+    n_blocks_ = _round_up(num_nodes, ROWS) // ROWS
+
+    # native C++ packer (same algorithm; ~50x faster at Water-3D scale —
+    # the python path below is the tested fallback)
+    from fastegnn_tpu import native
+
+    packed = native.pack_v5_native(
+        dst, src, edge_attr, edge_mask, num_nodes, chunk, W, G)
+    if packed is not None:
+        idsx_n, w0_n, sdb_n = packed
+        n_chunks_ = w0_n.shape[0]
+        return EdgeKernelV5Meta(
+            idsx=jnp.asarray(idsx_n), w0=jnp.asarray(w0_n),
+            sdb=jnp.asarray(sdb_n), chunk=chunk, W=W, G=G,
+            n_slots=n_chunks_ * chunk, n_chunks=n_chunks_,
+            n_super=n_chunks_ // G, n_blocks=n_blocks_, eattr_fe=fe)
+
     real = np.asarray(edge_mask) & (dst < num_nodes)
     eidx = np.nonzero(real)[0]
     dst_r, src_r = dst[eidx], src[eidx]
@@ -172,21 +189,34 @@ def make_v5_meta(
     idsx[2:8] = 0
     w0_arr = np.zeros(n_chunks, np.int32)
     sdb = np.zeros(n_super, np.int32)
-    ea_bits = np.ascontiguousarray(edge_attr).view(np.int32)
-    dst_local = (dst_r % ROWS).astype(np.int32)
-    src_local = (src_r % ROWS).astype(np.int32)
-    for ci, (cdb, w0, runs) in enumerate(chunks):
-        w0_arr[ci] = w0
-        if ci % G == 0:
-            sdb[ci // G] = cdb
+    sdb[:] = np.asarray([c[0] for c in chunks], np.int32)[::G]
+    w0_arr[:] = np.asarray([c[1] for c in chunks], np.int32)
+
+    # vectorized slot materialization from (pos, take, woff) run descriptors
+    starts, takes, woffs, slot0 = [], [], [], []
+    for ci, (_, _, runs) in enumerate(chunks):
         at = ci * chunk
         for pos, take, woff in runs:
-            sl = slice(at, at + take)
-            pr = slice(pos, pos + take)
-            idsx[0, sl] = dst_local[pr]
-            idsx[1, sl] = woff * ROWS + src_local[pr]
-            idsx[2:2 + fe, sl] = ea_bits[eidx[pr]].T
+            starts.append(pos)
+            takes.append(take)
+            woffs.append(woff)
+            slot0.append(at)
             at += take
+    if takes:
+        starts = np.asarray(starts, np.int64)
+        takes = np.asarray(takes, np.int64)
+        woffs = np.asarray(woffs, np.int32)
+        slot0 = np.asarray(slot0, np.int64)
+        total = int(takes.sum())
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(takes)[:-1]]), takes)
+        epos = np.repeat(starts, takes) + off      # index into sorted edges
+        slot = np.repeat(slot0, takes) + off       # destination slot
+        ea_bits = np.ascontiguousarray(edge_attr).view(np.int32)
+        idsx[0, slot] = (dst_r[epos] % ROWS).astype(np.int32)
+        idsx[1, slot] = (np.repeat(woffs, takes) * ROWS
+                         + (src_r[epos] % ROWS)).astype(np.int32)
+        idsx[2:2 + fe, slot] = ea_bits[eidx[epos]].T
 
     return EdgeKernelV5Meta(
         idsx=jnp.asarray(idsx), w0=jnp.asarray(w0_arr), sdb=jnp.asarray(sdb),
@@ -265,27 +295,31 @@ def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, blk, c, cg, W, cd):
 
 
 def _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd):
-    """Feature-major MLP/gate chain over the G-wide [128, R] gather."""
+    """Feature-major MLP/gate chain over the G-wide [128, R] gather.
+
+    Pre-activations cast to ``cd`` before the transcendental chain: the
+    kernel is VPU-traffic-bound and bf16 halves the bytes of the ~9 [64, R]
+    chain intermediates; dots still accumulate f32.  The f32 path is
+    bit-identical (the cast is a no-op)."""
     H = H_MAX
     wp = wp_ref[:]
     vpc = vpc_ref[:]
-    diff = bigT[64:72] + bigT[72:80]                      # [8, R], rows 3:8=0
+    diff = bigT[64:72] + bigT[72:80]                      # [8, R] f32 exact
     radial = jnp.sum(diff * diff, axis=0, keepdims=True)  # [1, R]
     z1 = (bigT[0:H] + jnp.broadcast_to(radial, (H, radial.shape[1]))
-          * vpc[:, 0:1] + ea_z1T[0:H])
-    a1f, s1 = _silu_f32(z1)
-    a1 = a1f.astype(cd)
-    z2 = jax.lax.dot_general(
+          * vpc[:, 0:1] + ea_z1T[0:H]).astype(cd)
+    a1, s1 = _silu_f32(z1)
+    z2 = (jax.lax.dot_general(
         wp[2 * H:3 * H], a1, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + vpc[:, 2:3]
-    mf, s2 = _silu_f32(z2)
-    m = mf.astype(cd)
-    zg = jax.lax.dot_general(
+        preferred_element_type=jnp.float32) + vpc[:, 2:3]).astype(cd)
+    m, s2 = _silu_f32(z2)
+    zg = (jax.lax.dot_general(
         wp[3 * H:4 * H], m, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + vpc[:, 3:4]
+        preferred_element_type=jnp.float32) + vpc[:, 3:4]).astype(cd)
     g1, sg = _silu_f32(zg)
-    gate = jnp.sum(g1 * vpc[:, 1:2], axis=0, keepdims=True)  # [1, R]
-    trans = diff * jnp.broadcast_to(gate, diff.shape)        # [8, R]
+    gate = jnp.sum(
+        g1.astype(jnp.float32) * vpc[:, 1:2], axis=0, keepdims=True)
+    trans = diff * jnp.broadcast_to(gate, diff.shape)        # [8, R] f32
     return dict(diff=diff, radial=radial, z1=z1, s1=s1, a1=a1, z2=z2, s2=s2,
                 m=m, zg=zg, sg=sg, g1=g1, gate=gate, trans=trans)
 

@@ -50,3 +50,42 @@ def test_native_available_or_fallback():
     loc = rng.random((50, 3)).astype(np.float32)
     d, s = native.radius_graph(loc, 0.3)
     assert d.dtype == np.int32 and len(d) == len(s)
+
+
+def test_pack_v5_native_matches_python():
+    """C++ packer must be bit-identical to the python make_v5_meta path."""
+    import os
+
+    from fastegnn_tpu import native
+    from fastegnn_tpu.ops import edge_kernel_v5 as ek5
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    n = 700
+    e = 9000
+    dst = rng.integers(0, n, e).astype(np.int32)
+    src = rng.integers(0, n, e).astype(np.int32)
+    ea = rng.normal(size=(e, 2)).astype(np.float32)
+    mask = rng.random(e) > 0.05
+    for chunk, W, G in [(256, 2, 4), (128, 3, 2)]:
+        m_nat = ek5.make_v5_meta(dst, src, ea, mask, n, chunk=chunk, W=W, G=G)
+        os.environ["FASTEGNN_TPU_NO_NATIVE"] = "1"
+        try:
+            native._LIB = None
+            native._TRIED = False
+            m_py = ek5.make_v5_meta(dst, src, ea, mask, n,
+                                    chunk=chunk, W=W, G=G)
+        finally:
+            del os.environ["FASTEGNN_TPU_NO_NATIVE"]
+            native._LIB = None
+            native._TRIED = False
+        assert m_nat.n_chunks == m_py.n_chunks
+        np.testing.assert_array_equal(np.asarray(m_nat.idsx),
+                                      np.asarray(m_py.idsx))
+        np.testing.assert_array_equal(np.asarray(m_nat.w0),
+                                      np.asarray(m_py.w0))
+        np.testing.assert_array_equal(np.asarray(m_nat.sdb),
+                                      np.asarray(m_py.sdb))
