@@ -66,6 +66,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.counting_argsort.restype = None
+        lib.counting_argsort.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.pack_v5.restype = ctypes.c_int64
         lib.pack_v5.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -116,6 +121,20 @@ def argsort_i32(keys: np.ndarray) -> np.ndarray:
         return np.argsort(k, kind="stable").astype(np.int32)
     out = np.empty(k.shape[0], np.int32)
     lib.sort_by_key(_iptr(k), k.shape[0], _iptr(out))
+    return out
+
+
+def counting_argsort(keys: np.ndarray, n_bins: int) -> np.ndarray:
+    """Stable argsort for small-range int keys, O(n + n_bins); out-of-range
+    keys sort last.  numpy stable-argsort fallback."""
+    lib = _load()
+    k = np.ascontiguousarray(keys, np.int32)
+    if lib is None:
+        return np.argsort(
+            np.where((k >= 0) & (k < n_bins), k, n_bins), kind="stable"
+        ).astype(np.int32)
+    out = np.empty(k.shape[0], np.int32)
+    lib.counting_argsort(_iptr(k), k.shape[0], n_bins, _iptr(out))
     return out
 
 

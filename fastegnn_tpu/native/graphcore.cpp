@@ -104,6 +104,24 @@ int64_t radius_graph(const float* loc, int64_t n, float r,
   return count;
 }
 
+// Stable counting argsort for keys in [0, n_bins): O(n + n_bins).
+// Out-of-range keys sort last (stable among themselves).
+void counting_argsort(const int32_t* keys, int64_t n, int64_t n_bins,
+                      int32_t* out_perm) {
+  std::vector<int64_t> off(n_bins + 2, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t k = keys[i];
+    const int64_t b = (k >= 0 && k < n_bins) ? k : n_bins;
+    ++off[b + 1];
+  }
+  for (int64_t b = 0; b <= n_bins; ++b) off[b + 1] += off[b];
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t k = keys[i];
+    const int64_t b = (k >= 0 && k < n_bins) ? k : n_bins;
+    out_perm[off[b]++] = static_cast<int32_t>(i);
+  }
+}
+
 // Stable argsort of int32 keys into out_perm (int32 indices).
 void sort_by_key(const int32_t* keys, int64_t n, int32_t* out_perm) {
   std::vector<int32_t> idx(n);
