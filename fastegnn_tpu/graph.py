@@ -245,6 +245,7 @@ def batch_graphs(
     ek5_chunk: int = 256,
     ek5_window: int = 2,
     ek5_super: int = 8,
+    ek5_dwin: int = 128,
 ) -> GraphBatch:
     """Concatenate padded single graphs into one packed ``GraphBatch``.
 
@@ -333,7 +334,7 @@ def batch_graphs(
         if total_nodes <= EK5_MAX_NODES and edge_attr.shape[1] <= 3:
             ek5 = make_v5_meta(
                 dst, src, edge_attr, edge_mask, total_nodes,
-                chunk=ek5_chunk, W=ek5_window, G=ek5_super,
+                chunk=ek5_chunk, W=ek5_window, G=ek5_super, D=ek5_dwin,
             )
         elif total_nodes <= EK3_MAX_NODES and edge_attr.shape[1] <= 3:
             ek3 = make_v3_meta(

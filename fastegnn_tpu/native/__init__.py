@@ -76,9 +76,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
         ]
         _LIB = lib
         return _LIB
@@ -158,10 +159,12 @@ def pack_v5_native(
     chunk: int,
     W: int,
     G: int,
+    D: int = 128,
 ):
     """C++ v5 edge-kernel packer.  Returns ``(idsx [8, n_slots] i32,
-    w0 [n_chunks] i32, sdb [n_super] i32)`` or ``None`` when the native
-    library is unavailable (caller falls back to the python packer).
+    w0 [n_chunks] i32, dw0 [n_chunks] i32, sdb [n_super] i32)`` or ``None``
+    when the native library is unavailable (caller falls back to the
+    python packer).
 
     Same greedy algorithm as ``ops/edge_kernel_v5.make_v5_meta`` — the two
     are tested bit-identical (tests/test_native.py)."""
@@ -176,14 +179,16 @@ def pack_v5_native(
     n_chunks = lib.pack_v5(
         _iptr(d), _iptr(s), _fptr(ea),
         mk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        d.shape[0], fe, num_nodes, chunk, W, G, None, None, None, 0)
+        d.shape[0], fe, num_nodes, chunk, W, G, D,
+        None, None, None, None, 0)
     idsx = np.empty((8, n_chunks * chunk), np.int32)
     w0 = np.empty(n_chunks, np.int32)
+    dw0 = np.empty(n_chunks, np.int32)
     sdb = np.empty(n_chunks // G, np.int32)
     got = lib.pack_v5(
         _iptr(d), _iptr(s), _fptr(ea),
         mk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        d.shape[0], fe, num_nodes, chunk, W, G,
-        _iptr(idsx), _iptr(w0), _iptr(sdb), n_chunks)
+        d.shape[0], fe, num_nodes, chunk, W, G, D,
+        _iptr(idsx), _iptr(w0), _iptr(dw0), _iptr(sdb), n_chunks)
     assert got == n_chunks, "pack_v5 capacity mismatch"
-    return idsx, w0, sdb
+    return idsx, w0, dw0, sdb

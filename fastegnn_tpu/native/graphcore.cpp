@@ -163,6 +163,7 @@ struct V5Run {            // a contiguous slice of sorted edges in one chunk
 struct V5Chunk {
   int32_t db;
   int32_t w0;
+  int32_t dw0 = 0;
   std::vector<V5Run> runs;
   int64_t filled = 0;
 };
@@ -171,22 +172,25 @@ struct V5Chunk {
 int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
                 const uint8_t* mask, int64_t n_edges, int64_t fe,
                 int64_t num_nodes, int64_t chunk, int64_t W, int64_t G,
-                int32_t* idsx, int32_t* w0_out, int32_t* sdb_out,
-                int64_t capacity_chunks) {
+                int64_t D, int32_t* idsx, int32_t* w0_out, int32_t* dw0_out,
+                int32_t* sdb_out, int64_t capacity_chunks) {
   const int64_t kRows = 128;
   const int64_t n_blocks = (num_nodes + kRows - 1) / kRows;
   const int64_t max_w0 = n_blocks > W ? n_blocks - W : 0;
 
-  // real edges, stably sorted by (dst_block, src_block) via counting sort
-  // over the n_blocks^2 tile keys (comparator sorts cost ~140 ms at 580k
-  // edges; this is O(E + tiles))
-  const int64_t n_keys = n_blocks * n_blocks;
+  // real edges, stably sorted by (dst_block, src_block, dst_local) via
+  // counting sort over n_blocks^2 * 128 keys (comparator sorts cost
+  // ~140 ms at 580k edges; this is O(E + keys))
+  const int64_t n_keys = n_blocks * n_blocks * kRows;
   std::vector<int64_t> bucket(n_keys + 1, 0);
-  std::vector<int32_t> ekey(n_edges);
+  std::vector<int64_t> ekey(n_edges);
   for (int64_t e = 0; e < n_edges; ++e) {
     if (mask[e] && dst[e] < num_nodes) {
-      const int32_t k = static_cast<int32_t>(
-          (dst[e] / kRows) * n_blocks + src[e] / kRows);
+      const int64_t k =
+          ((static_cast<int64_t>(dst[e]) / kRows) * n_blocks +
+           src[e] / kRows) *
+              kRows +
+          dst[e] % kRows;
       ekey[e] = k;
       ++bucket[k + 1];
     } else {
@@ -221,14 +225,24 @@ int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
       ++t1;
     int64_t pos = t0;
     while (pos < t1) {
-      if (open && (cur.db != tdb || tsb - cur.w0 >= W || tsb < cur.w0))
+      const int32_t dl = dst[order[pos]] % kRows;
+      if (open && (cur.db != tdb || tsb - cur.w0 >= W || tsb < cur.w0 ||
+                   dl - cur.dw0 >= D || dl < cur.dw0))
         close();
       if (!open) {
         cur.db = tdb;
         cur.w0 = static_cast<int32_t>(std::min<int64_t>(tsb, max_w0));
+        cur.dw0 = static_cast<int32_t>(
+            std::min<int64_t>(dl / 8 * 8, kRows - D));
         open = true;
       }
-      const int64_t take = std::min(chunk - cur.filled, t1 - pos);
+      // furthest in-tile edge whose dst row stays inside [dw0, dw0+D)
+      // (dst_local ascending within the tile)
+      int64_t lim = pos;
+      const int32_t dmax = cur.dw0 + static_cast<int32_t>(D);
+      while (lim < t1 && dst[order[lim]] % kRows < dmax) ++lim;
+      const int64_t take =
+          std::min(chunk - cur.filled, std::min(t1 - pos, lim - pos));
       if (take == 0) {
         close();
         continue;
@@ -264,14 +278,16 @@ int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
     for (int64_t k = 0; k < want; ++k, ++ci) {
       const bool realc = k < static_cast<int64_t>(per_db[b].size());
       w0_out[ci] = realc ? per_db[b][k].w0 : 0;
+      dw0_out[ci] = realc ? per_db[b][k].dw0 : 0;
       if (ci % G == 0) sdb_out[ci / G] = static_cast<int32_t>(b);
       if (!realc) continue;
+      const int32_t dw0 = per_db[b][k].dw0;
       int64_t at = ci * chunk;
       for (const V5Run& r : per_db[b][k].runs) {
         for (int64_t i = 0; i < r.take; ++i) {
           const int64_t e = order[r.pos + i];
           const int64_t s = at + i;
-          idsx[s] = dst[e] % kRows;                        // row 0
+          idsx[s] = dst[e] % kRows - dw0;                  // row 0
           idsx[n_slots + s] = r.woff * kRows + src[e] % kRows;  // row 1
           for (int64_t f = 0; f < fe; ++f)
             idsx[(2 + f) * n_slots + s] = ea_bits[e * fe + f];

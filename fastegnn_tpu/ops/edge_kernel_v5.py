@@ -73,14 +73,18 @@ def _round_up(x: int, m: int) -> int:
 class EdgeKernelV5Meta:
     """Host-precomputed feature-major slot layout (see module docstring)."""
 
-    idsx: jax.Array      # [8, n_slots] i32 rows: 0 dst-local id (sentinel
-                         #  -1), 1 window gid = (sb-w0)*128 + src-local,
-                         #  2:2+fe edge-attr f32 bits, rest 0
+    idsx: jax.Array      # [8, n_slots] i32 rows: 0 dst id relative to the
+                         #  chunk's dw0 (sentinel -1), 1 window gid =
+                         #  (sb-w0)*128 + src-local, 2:2+fe edge-attr f32
+                         #  bits, rest 0
     w0: jax.Array        # [n_chunks] i32 window base src block
+    dw0: jax.Array       # [n_chunks] i32 dst-window base row (8-aligned,
+                         #  within the superchunk's 128-row dst block)
     sdb: jax.Array       # [n_super] i32 dst block of each superchunk
     chunk: int = struct.field(pytree_node=False, default=256)
     W: int = struct.field(pytree_node=False, default=2)
     G: int = struct.field(pytree_node=False, default=8)
+    D: int = struct.field(pytree_node=False, default=128)
     n_slots: int = struct.field(pytree_node=False, default=0)
     n_chunks: int = struct.field(pytree_node=False, default=0)
     n_super: int = struct.field(pytree_node=False, default=0)
@@ -97,21 +101,26 @@ def make_v5_meta(
     chunk: int = 256,
     W: int = 2,
     G: int = 8,
+    D: int = 128,
 ) -> EdgeKernelV5Meta:
     """Pack edges into contiguous-window chunks grouped into same-dst-block
     superchunks.
 
-    Edges are sorted by (dst_block, src_block); per dst block, chunks
-    accept tiles while their src block stays within [w0, w0+W).  Each dst
-    block's chunk run is padded to a multiple of G with same-block
-    sentinel chunks, and every block emits at least one (possibly empty)
-    superchunk so its streamed output block is always written.
+    Edges are sorted by (dst_block, src_block, dst); per dst block, chunks
+    accept tiles while their src block stays within [w0, w0+W) AND their
+    dst row stays within [dw0, dw0+D) (``D`` < 128 shrinks the dst one-hot
+    and scatter dots ~4x at the cost of padding — D=128 disables the
+    constraint).  Each dst block's chunk run is padded to a multiple of G
+    with same-block sentinel chunks, and every block emits at least one
+    (possibly empty) superchunk so its streamed output block is always
+    written.
     """
     dst = np.asarray(dst)
     src = np.asarray(src)
     edge_attr = np.asarray(edge_attr, np.float32)
     fe = edge_attr.shape[1]
     assert fe <= 3, f"edge_attr dim {fe} exceeds v5 packing capacity"
+    assert D % 8 == 0 and 8 <= D <= 128
     n_blocks_ = _round_up(num_nodes, ROWS) // ROWS
 
     # native C++ packer (same algorithm; ~50x faster at Water-3D scale —
@@ -119,13 +128,14 @@ def make_v5_meta(
     from fastegnn_tpu import native
 
     packed = native.pack_v5_native(
-        dst, src, edge_attr, edge_mask, num_nodes, chunk, W, G)
+        dst, src, edge_attr, edge_mask, num_nodes, chunk, W, G, D)
     if packed is not None:
-        idsx_n, w0_n, sdb_n = packed
+        idsx_n, w0_n, dw0_n, sdb_n = packed
         n_chunks_ = w0_n.shape[0]
         return EdgeKernelV5Meta(
             idsx=jnp.asarray(idsx_n), w0=jnp.asarray(w0_n),
-            sdb=jnp.asarray(sdb_n), chunk=chunk, W=W, G=G,
+            dw0=jnp.asarray(dw0_n), sdb=jnp.asarray(sdb_n),
+            chunk=chunk, W=W, G=G, D=D,
             n_slots=n_chunks_ * chunk, n_chunks=n_chunks_,
             n_super=n_chunks_ // G, n_blocks=n_blocks_, eattr_fe=fe)
 
@@ -133,7 +143,7 @@ def make_v5_meta(
     eidx = np.nonzero(real)[0]
     dst_r, src_r = dst[eidx], src[eidx]
     db, sb = dst_r // ROWS, src_r // ROWS
-    order = np.lexsort((sb, db))
+    order = np.lexsort((dst_r % ROWS, sb, db))  # dst ascending within tile
     eidx, dst_r, src_r, db, sb = (
         eidx[order], dst_r[order], src_r[order], db[order], sb[order])
 
@@ -141,71 +151,79 @@ def make_v5_meta(
     key = db.astype(np.int64) * n_blocks + sb
     tb = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [key.size]])
     max_w0 = max(n_blocks - W, 0)
+    dloc_all = (dst_r % ROWS).astype(np.int32)
 
     # chunk assembly works on (pos, take, woff) RUNS, not per-edge python
-    # items — the tile loop is O(#tiles) (~hundreds), edges are materialized
+    # items — the tile loop is O(#tiles + #chunks), edges are materialized
     # at the end with numpy slicing
-    per_db = {b: [] for b in range(n_blocks)}   # b -> [(w0, runs, n_slots)]
-    cur = None
+    per_db = {b: [] for b in range(n_blocks)}  # b -> [(w0, dw0, runs, n)]
+    cur = None                                 # [db, w0, dw0, runs, n]
 
     def close():
         nonlocal cur
-        if cur is not None and cur[2]:
-            per_db[cur[0]].append((cur[1], cur[2], cur[3]))
+        if cur is not None and cur[3]:
+            per_db[cur[0]].append((cur[1], cur[2], cur[3], cur[4]))
         cur = None
 
     for t in range(tb.size - 1):
         lo, hi = int(tb[t]), int(tb[t + 1])
         tdb, tsb = int(db[lo]), int(sb[lo])
+        dl_tile = dloc_all[lo:hi]               # ascending within the tile
         pos = lo
         while pos < hi:
+            dl = int(dloc_all[pos])
             if cur is not None and (cur[0] != tdb or tsb - cur[1] >= W
-                                    or tsb < cur[1]):
+                                    or tsb < cur[1]
+                                    or dl - cur[2] >= D or dl < cur[2]):
                 close()
             if cur is None:
-                cur = [tdb, min(tsb, max_w0), [], 0]
-            take = min(chunk - cur[3], hi - pos)
+                cur = [tdb, min(tsb, max_w0), min(dl // 8 * 8, 128 - D),
+                       [], 0]
+            # furthest in-tile edge whose dst row stays inside the window
+            lim = lo + int(np.searchsorted(dl_tile, cur[2] + D))
+            take = min(chunk - cur[4], hi - pos, lim - pos)
             if take == 0:
                 close()
                 continue
-            cur[2].append((pos, take, tsb - cur[1]))
-            cur[3] += take
+            cur[3].append((pos, take, tsb - cur[1]))
+            cur[4] += take
             pos += take
-            if cur[3] == chunk:
+            if cur[4] == chunk:
                 close()
     close()
 
-    chunks = []                                 # (db, w0, runs)
+    chunks = []                                 # (db, w0, dw0, runs)
     for b in range(n_blocks):
         run = per_db[b]
         want = _round_up(max(len(run), 1), G)
-        chunks.extend((b, w0, runs) for (w0, runs, _) in run)
-        chunks.extend((b, 0, []) for _ in range(want - len(run)))
+        chunks.extend((b, w0, dw0, runs) for (w0, dw0, runs, _) in run)
+        chunks.extend((b, 0, 0, []) for _ in range(want - len(run)))
 
     n_chunks = len(chunks)
     n_super = n_chunks // G
     n_slots = n_chunks * chunk
     idsx = np.full((8, n_slots), -1, np.int32)
     idsx[2:8] = 0
-    w0_arr = np.zeros(n_chunks, np.int32)
-    sdb = np.zeros(n_super, np.int32)
-    sdb[:] = np.asarray([c[0] for c in chunks], np.int32)[::G]
-    w0_arr[:] = np.asarray([c[1] for c in chunks], np.int32)
+    sdb = np.asarray([c[0] for c in chunks], np.int32)[::G].copy()
+    w0_arr = np.asarray([c[1] for c in chunks], np.int32)
+    dw0_arr = np.asarray([c[2] for c in chunks], np.int32)
 
     # vectorized slot materialization from (pos, take, woff) run descriptors
-    starts, takes, woffs, slot0 = [], [], [], []
-    for ci, (_, _, runs) in enumerate(chunks):
+    starts, takes, woffs, dw0s, slot0 = [], [], [], [], []
+    for ci, (_, _, dw0, runs) in enumerate(chunks):
         at = ci * chunk
         for pos, take, woff in runs:
             starts.append(pos)
             takes.append(take)
             woffs.append(woff)
+            dw0s.append(dw0)
             slot0.append(at)
             at += take
     if takes:
         starts = np.asarray(starts, np.int64)
         takes = np.asarray(takes, np.int64)
         woffs = np.asarray(woffs, np.int32)
+        dw0s = np.asarray(dw0s, np.int32)
         slot0 = np.asarray(slot0, np.int64)
         total = int(takes.sum())
         off = np.arange(total, dtype=np.int64) - np.repeat(
@@ -213,14 +231,15 @@ def make_v5_meta(
         epos = np.repeat(starts, takes) + off      # index into sorted edges
         slot = np.repeat(slot0, takes) + off       # destination slot
         ea_bits = np.ascontiguousarray(edge_attr).view(np.int32)
-        idsx[0, slot] = (dst_r[epos] % ROWS).astype(np.int32)
+        idsx[0, slot] = dloc_all[epos] - np.repeat(dw0s, takes)
         idsx[1, slot] = (np.repeat(woffs, takes) * ROWS
                          + (src_r[epos] % ROWS)).astype(np.int32)
         idsx[2:2 + fe, slot] = ea_bits[eidx[epos]].T
 
     return EdgeKernelV5Meta(
-        idsx=jnp.asarray(idsx), w0=jnp.asarray(w0_arr), sdb=jnp.asarray(sdb),
-        chunk=chunk, W=W, G=G, n_slots=n_slots, n_chunks=n_chunks,
+        idsx=jnp.asarray(idsx), w0=jnp.asarray(w0_arr),
+        dw0=jnp.asarray(dw0_arr), sdb=jnp.asarray(sdb),
+        chunk=chunk, W=W, G=G, D=D, n_slots=n_slots, n_chunks=n_chunks,
         n_super=n_super, n_blocks=n_blocks, eattr_fe=fe)
 
 
@@ -270,17 +289,18 @@ def pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, fe, cd):
 # ---------------------------------------------------------------------------
 
 
-def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, blk, c, cg, W, cd):
+def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg, W, D, cd):
     """One-hot gather dots for one chunk; returns bigT [128, chunk] f32
-    (rows 0:64 Ud[dst]+Us[src], 64:72 hi(xd-xs), 72:80 lo) + masks."""
+    (rows 0:64 Ud[dst]+Us[src], 64:72 hi(xd-xs), 72:80 lo) + masks.
+    The dst one-hot covers only the chunk's D-row dst window."""
     chunk = blk.shape[1]
     dl, gl = blk[0:1, :], blk[1:2, :]
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (ROWS, chunk), 0)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (D, chunk), 0)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (W * ROWS, chunk), 0)
     PdT = (iota_d == dl).astype(cd)
     PsT = (iota_s == gl).astype(cd)
     eaT = jax.lax.bitcast_convert_type(blk[2:8, :], jnp.float32).astype(cd)
-    td = tab_ref[pl.ds(sdb_ref[c] * ROWS, ROWS), 0:128]
+    td = tab_ref[pl.ds(sdb_ref[c] * ROWS + dw0_ref[cg], D), 0:128]
     tw = tab_ref[pl.ds(w0_ref[cg] * ROWS, W * ROWS), 128:256]
     bigT = jax.lax.dot_general(
         td, PdT, (((0,), (0,)), ((), ())),
@@ -353,15 +373,20 @@ def _chain_bwd(w, deT, wp_ref, vpc_ref, cd):
                 d_zg=d_zg, d_zg_c=d_zg_c, d_gate=d_gate)
 
 
-def _fwd_kernel(sdb_ref, w0_ref, wp_ref, eW_ref, vpc_ref,
-                tab_ref, idsx_ref, out_ref, *, G, W, cd, chunk):
+def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
+                tab_ref, idsx_ref, out_ref, *, G, W, D, cd, chunk):
     c = pl.program_id(0)
     first = jnp.logical_or(
         c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
 
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
     gs = [
-        _gather(tab_ref, eW_ref, sdb_ref, w0_ref,
-                idsx_ref[:, g * chunk:(g + 1) * chunk], c, c * G + g, W, cd)
+        _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref,
+                idsx_ref[:, g * chunk:(g + 1) * chunk], c, c * G + g, W, D,
+                cd)
         for g in range(G)
     ]
     bigT = jnp.concatenate([f["bigT"] for f in gs], axis=1)
@@ -371,25 +396,17 @@ def _fwd_kernel(sdb_ref, w0_ref, wp_ref, eW_ref, vpc_ref,
     scat_T = jnp.concatenate(
         [w["m"], t_hi, t_lo,
          jnp.zeros((128 - H_MAX - 16, w["m"].shape[1]), cd)], axis=0)
-    contrib = None
     for g in range(G):
         d = jax.lax.dot_general(
             gs[g]["PdT"], scat_T[:, g * chunk:(g + 1) * chunk],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        contrib = d if contrib is None else contrib + d
-
-    @pl.when(first)
-    def _():
-        out_ref[:] = contrib
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        out_ref[:] += contrib
+        o = pl.multiple_of(dw0_ref[c * G + g], 8)
+        out_ref[pl.ds(o, D), :] += d
 
 
-def _bwd_kernel(sdb_ref, w0_ref, wp_ref, eW_ref, vpc_ref,
+def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
                 tab_ref, idsx_ref, dout_ref,
-                daccd_ref, daccs_ref, dw_ref, *, G, W, cd, chunk):
+                daccd_ref, daccs_ref, dw_ref, *, G, W, D, cd, chunk):
     H = H_MAX
     c = pl.program_id(0)
     first = jnp.logical_or(
@@ -400,14 +417,20 @@ def _bwd_kernel(sdb_ref, w0_ref, wp_ref, eW_ref, vpc_ref,
         daccs_ref[:] = jnp.zeros_like(daccs_ref)
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
+    @pl.when(first)
+    def _():
+        daccd_ref[:] = jnp.zeros_like(daccd_ref)
+
     gs = []
     des = []
-    dout_c = dout_ref[:].astype(cd)                      # [128n, 128f]
     for g in range(G):
         cg = c * G + g
         blk = idsx_ref[:, g * chunk:(g + 1) * chunk]
-        f = _gather(tab_ref, eW_ref, sdb_ref, w0_ref, blk, c, cg, W, cd)
+        f = _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg,
+                    W, D, cd)
         gs.append(f)
+        o = pl.multiple_of(dw0_ref[cg], 8)
+        dout_c = dout_ref[pl.ds(o, D), :].astype(cd)     # [D, 128f]
         des.append(jax.lax.dot_general(
             dout_c, f["PdT"], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))         # [128f, chunk]
@@ -423,21 +446,13 @@ def _bwd_kernel(sdb_ref, w0_ref, wp_ref, eW_ref, vpc_ref,
         [d_z1_c, dhi, dlo,
          jnp.zeros((128 - H - 16, d_z1_c.shape[1]), cd)], axis=0)
 
-    # dst-role scatter: streamed block, one accumulate per superchunk
-    contrib = None
+    # dst-role scatter into the streamed per-block accumulator
     for g in range(G):
         d = jax.lax.dot_general(
             gs[g]["PdT"], dstuff[:, g * chunk:(g + 1) * chunk],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        contrib = d if contrib is None else contrib + d
-
-    @pl.when(first)
-    def _():
-        daccd_ref[:] = contrib
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        daccd_ref[:] += contrib
+        o = pl.multiple_of(dw0_ref[c * G + g], 8)
+        daccd_ref[pl.ds(o, D), :] += d
 
     # src-role scatter: resident accumulator, RMW per chunk
     for g in range(G):
@@ -479,62 +494,70 @@ def _bwd_kernel(sdb_ref, w0_ref, wp_ref, eW_ref, vpc_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "W", "G", "n_seg_pad", "interpret"))
-def _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, chunk, W, G, n_seg_pad,
+    jax.jit,
+    static_argnames=("chunk", "W", "G", "D", "n_seg_pad", "interpret"))
+def _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, chunk, W, G, D, n_seg_pad,
               interpret):
-    sdb, w0 = meta_arrs
+    sdb, w0, dw0 = meta_arrs
     n_super = sdb.shape[0]
     cd = tab.dtype
     prec = "highest" if cd == jnp.float32 else "default"
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, G=G, W=W, cd=cd, chunk=chunk),
+            functools.partial(_fwd_kernel, G=G, W=W, D=D, cd=cd,
+                              chunk=chunk),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(n_super,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # eW
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # vpc
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tab (resident)
-                    pl.BlockSpec((8, G * chunk), lambda c, sdb, w0: (0, c)),
+                    pl.BlockSpec((8, G * chunk),
+                                 lambda c, sdb, w0, dw0: (0, c)),
                 ],
                 out_specs=pl.BlockSpec(
-                    (ROWS, 128), lambda c, sdb, w0: (sdb[c], 0)),
+                    (ROWS, 128), lambda c, sdb, w0, dw0: (sdb[c], 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
             interpret=interpret,
-        )(sdb, w0, wp, eW, vpc, tab, idsx)
+        )(sdb, w0, dw0, wp, eW, vpc, tab, idsx)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "W", "G", "n_seg_pad", "interpret"))
-def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G,
+    jax.jit,
+    static_argnames=("chunk", "W", "G", "D", "n_seg_pad", "interpret"))
+def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G, D,
               n_seg_pad, interpret):
-    sdb, w0 = meta_arrs
+    sdb, w0, dw0 = meta_arrs
     n_super = sdb.shape[0]
     cd = tab.dtype
     prec = "highest" if cd == jnp.float32 else "default"
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, G=G, W=W, cd=cd, chunk=chunk),
+            functools.partial(_bwd_kernel, G=G, W=W, D=D, cd=cd,
+                              chunk=chunk),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(n_super,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # eW
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # vpc
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tab (resident)
-                    pl.BlockSpec((8, G * chunk), lambda c, sdb, w0: (0, c)),
+                    pl.BlockSpec((8, G * chunk),
+                                 lambda c, sdb, w0, dw0: (0, c)),
                     pl.BlockSpec(
-                        (ROWS, 128), lambda c, sdb, w0: (sdb[c], 0)),  # dout
+                        (ROWS, 128),
+                        lambda c, sdb, w0, dw0: (sdb[c], 0)),  # dout
                 ],
                 out_specs=(
                     pl.BlockSpec(
-                        (ROWS, 128), lambda c, sdb, w0: (sdb[c], 0)),  # daccd
-                    pl.BlockSpec(memory_space=pltpu.VMEM),             # daccs
-                    pl.BlockSpec(memory_space=pltpu.VMEM),             # dw
+                        (ROWS, 128),
+                        lambda c, sdb, w0, dw0: (sdb[c], 0)),  # daccd
+                    pl.BlockSpec(memory_space=pltpu.VMEM),     # daccs
+                    pl.BlockSpec(memory_space=pltpu.VMEM),     # dw
                 ),
             ),
             out_shape=(
@@ -543,7 +566,7 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G,
                 jax.ShapeDtypeStruct((144, 64), jnp.float32),
             ),
             interpret=interpret,
-        )(sdb, w0, wp, eW, vpc, tab, idsx, dout)
+        )(sdb, w0, dw0, wp, eW, vpc, tab, idsx, dout)
 
 
 # ---------------------------------------------------------------------------
@@ -569,10 +592,10 @@ def fused_edge_block_v5(
     assert H == H_MAX, "edge kernel v5 assumes hidden == 64"
     Fe = meta.eattr_fe
     cd = jnp.dtype(compute_dtype)
-    chunk, W, G = meta.chunk, meta.W, meta.G
+    chunk, W, G, D = meta.chunk, meta.W, meta.G, meta.D
     n_seg_pad = max(_round_up(N, ROWS), W * ROWS)
     interpret = jax.default_backend() != "tpu"
-    meta_arrs = (meta.sdb, meta.w0)
+    meta_arrs = (meta.sdb, meta.w0, meta.dw0)
     idsx = meta.idsx
 
     @jax.custom_vjp
@@ -583,7 +606,7 @@ def fused_edge_block_v5(
         tab = build_tab_v5(h, x, W1, b1, cd, n_seg_pad)
         wp, eW, vpc = pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, Fe, cd)
         out = _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx,
-                        chunk, W, G, n_seg_pad, interpret)
+                        chunk, W, G, D, n_seg_pad, interpret)
         m_sum = out[:N, 0:H]
         t_sum = (out[:N, H:H + 8] + out[:N, H + 8:H + 16])[:, 0:3]
         return (m_sum, t_sum), (h, tab, wp, eW, vpc, W1)
@@ -599,7 +622,7 @@ def fused_edge_block_v5(
         )
         daccd, daccs, dw = _bwd_impl(
             meta_arrs, wp, eW, vpc, tab, idsx, dout,
-            chunk, W, G, n_seg_pad, interpret)
+            chunk, W, G, D, n_seg_pad, interpret)
         # epilogue: per-node dUd/dUs -> dh, dW1, db1 (three XLA matmuls)
         dUd = daccd[:N, 0:H]
         dUs = daccs[:N, 0:H]

@@ -95,3 +95,27 @@ def test_small_graph_window_exceeds_blocks():
                                  jnp.asarray(ea), *w)
     np.testing.assert_allclose(ms, ms_r, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(ts, ts_r, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("D", [32, 64])
+def test_dst_window_forward_and_grad(D):
+    """D < 128 shrinks the dst one-hot/scatter window; results must be
+    identical to the unfused composition."""
+    h, x, dst, src, ea, w = _setup()
+    meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), h.shape[0],
+                        chunk=128, W=2, G=2, D=D)
+    ms, ts = fused_edge_block_v5(h, x, meta, *w)
+    ms_r, ts_r = _ref_edge_block(h, x, jnp.asarray(dst), jnp.asarray(src),
+                                 jnp.asarray(ea), *w)
+    np.testing.assert_allclose(ms, ms_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(ts, ts_r, rtol=2e-5, atol=2e-5)
+    g = jax.grad(
+        lambda h, x: jnp.sum(jnp.sin(fused_edge_block_v5(h, x, meta, *w)[0])),
+        argnums=(0, 1))(h, x)
+    gr = jax.grad(
+        lambda h, x: jnp.sum(jnp.sin(_ref_edge_block(
+            h, x, jnp.asarray(dst), jnp.asarray(src), jnp.asarray(ea),
+            *w)[0])), argnums=(0, 1))(h, x)
+    for a, b in zip(g, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-5)

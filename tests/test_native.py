@@ -70,14 +70,14 @@ def test_pack_v5_native_matches_python():
     src = rng.integers(0, n, e).astype(np.int32)
     ea = rng.normal(size=(e, 2)).astype(np.float32)
     mask = rng.random(e) > 0.05
-    for chunk, W, G in [(256, 2, 4), (128, 3, 2)]:
-        m_nat = ek5.make_v5_meta(dst, src, ea, mask, n, chunk=chunk, W=W, G=G)
+    for chunk, W, G, D in [(256, 2, 4, 128), (128, 3, 2, 128), (128, 2, 2, 32)]:
+        m_nat = ek5.make_v5_meta(dst, src, ea, mask, n, chunk=chunk, W=W, G=G, D=D)
         os.environ["FASTEGNN_TPU_NO_NATIVE"] = "1"
         try:
             native._LIB = None
             native._TRIED = False
             m_py = ek5.make_v5_meta(dst, src, ea, mask, n,
-                                    chunk=chunk, W=W, G=G)
+                                    chunk=chunk, W=W, G=G, D=D)
         finally:
             del os.environ["FASTEGNN_TPU_NO_NATIVE"]
             native._LIB = None
@@ -87,5 +87,7 @@ def test_pack_v5_native_matches_python():
                                       np.asarray(m_py.idsx))
         np.testing.assert_array_equal(np.asarray(m_nat.w0),
                                       np.asarray(m_py.w0))
+        np.testing.assert_array_equal(np.asarray(m_nat.dw0),
+                                      np.asarray(m_py.dw0))
         np.testing.assert_array_equal(np.asarray(m_nat.sdb),
                                       np.asarray(m_py.sdb))
