@@ -111,7 +111,16 @@ def build_batch(n_nodes=8000, degree=60, n_graphs=1, channels=3, seed=0):
         edge_degree_p99=int(np.percentile(deg, 99)),
         edge_degree_max=int(deg.max()),
     )
-    return batch_graphs(graphs, spec), n_real_edges, stats
+    # v5 kernel packing config, overridable for sweeps:
+    #   FASTEGNN_BENCH_EK5="chunk,W,G,D"
+    import os
+
+    cfg = os.environ.get("FASTEGNN_BENCH_EK5", "")
+    kw = {}
+    if cfg:
+        c_, w_, g_, d_ = (int(v) for v in cfg.split(","))
+        kw = dict(ek5_chunk=c_, ek5_window=w_, ek5_super=g_, ek5_dwin=d_)
+    return batch_graphs(graphs, spec, **kw), n_real_edges, stats
 
 
 def sol_step_time(n_edges, n_nodes, n_graphs, hidden=64, channels=3, layers=4):
