@@ -66,6 +66,14 @@ class OwnerShardedBatch:
     # halo: local row ids this shard contributes to the exchanged block
     send_idx: jax.Array           # [G, S]
     loc_mean: jax.Array           # [G, B, 3, C] (replicated copies)
+    # per-shard v5 edge-kernel metas over the [Nl + G*S] local gather table
+    # (uniform shapes across shards; None when the kernel isn't applicable)
+    ek5_idsx: Optional[jax.Array] = None   # [G, 8, n_slots]
+    ek5_w0: Optional[jax.Array] = None     # [G, n_chunks]
+    ek5_dw0: Optional[jax.Array] = None    # [G, n_chunks]
+    ek5_sdb: Optional[jax.Array] = None    # [G, n_super]
+    ek5_cfg: Optional[tuple] = struct.field(pytree_node=False, default=None)
+    #   ^ (chunk, W, G_super, D, n_blocks, fe)
     n_graphs: int = struct.field(pytree_node=False, default=1)
     n_shards: int = struct.field(pytree_node=False, default=1)
 
@@ -74,7 +82,16 @@ class OwnerShardedBatch:
         return self.node_feat.shape[1]
 
 
-def make_owner_sharded_batch(batch: GraphBatch, n_shards: int) -> OwnerShardedBatch:
+def make_owner_sharded_batch(
+    batch: GraphBatch,
+    n_shards: int,
+    *,
+    build_ek5: bool = True,
+    ek5_chunk: int = 256,
+    ek5_window: int = 2,
+    ek5_super: int = 8,
+    ek5_dwin: int = 128,
+) -> OwnerShardedBatch:
     """Host-side partitioner (numpy).  Node capacity must divide by G."""
     N = batch.num_nodes
     G = n_shards
@@ -119,6 +136,45 @@ def make_owner_sharded_batch(batch: GraphBatch, n_shards: int) -> OwnerShardedBa
         em_l[i, :ne] = True
         cnt_l[i] = np.bincount(d - i * Nl, minlength=Nl).astype(np.float32)
 
+    # per-shard v5 edge-kernel metas over the local gather table (owned rows
+    # [0, Nl) + halo rows [Nl, Nl + G*S)); shapes padded uniform across
+    # shards with empty superchunks on the LAST table block (keeps the
+    # streamed-output revisit pattern consecutive)
+    ek5_idsx = ek5_w0 = ek5_dw0 = ek5_sdb = None
+    ek5_cfg = None
+    NT = Nl + G * S
+    if build_ek5 and ea.shape[1] <= 3:
+        from fastegnn_tpu.ops.edge_kernel_v5 import make_v5_meta
+
+        metas = [
+            make_v5_meta(dst_l[i], src_l[i], ea_l[i], em_l[i], NT,
+                         chunk=ek5_chunk, W=ek5_window, G=ek5_super,
+                         D=ek5_dwin)
+            for i in range(G)
+        ]
+        n_blocks = metas[0].n_blocks
+        max_super = max(m.n_super for m in metas)
+        chunk = ek5_chunk
+        idsx_l, w0_l, dw0_l, sdb_l = [], [], [], []
+        for m in metas:
+            pad_s = max_super - m.n_super
+            idsx = np.asarray(m.idsx)
+            if pad_s:
+                extra = np.full((8, pad_s * ek5_super * chunk), -1, np.int32)
+                extra[2:8] = 0
+                idsx = np.concatenate([idsx, extra], axis=1)
+            idsx_l.append(idsx)
+            w0_l.append(np.pad(np.asarray(m.w0), (0, pad_s * ek5_super)))
+            dw0_l.append(np.pad(np.asarray(m.dw0), (0, pad_s * ek5_super)))
+            sdb_l.append(np.pad(np.asarray(m.sdb), (0, pad_s),
+                                constant_values=n_blocks - 1))
+        ek5_idsx = jnp.asarray(np.stack(idsx_l))
+        ek5_w0 = jnp.asarray(np.stack(w0_l))
+        ek5_dw0 = jnp.asarray(np.stack(dw0_l))
+        ek5_sdb = jnp.asarray(np.stack(sdb_l))
+        ek5_cfg = (ek5_chunk, ek5_window, ek5_super, ek5_dwin, n_blocks,
+                   ea.shape[1])
+
     def shard_nodes(a):
         return jnp.asarray(np.asarray(a).reshape((G, Nl) + np.asarray(a).shape[1:]))
 
@@ -139,6 +195,11 @@ def make_owner_sharded_batch(batch: GraphBatch, n_shards: int) -> OwnerShardedBa
         loc_mean=jnp.broadcast_to(
             np.asarray(batch.loc_mean)[None], (G, B, 3, batch.loc_mean.shape[2])
         ),
+        ek5_idsx=ek5_idsx,
+        ek5_w0=ek5_w0,
+        ek5_dw0=ek5_dw0,
+        ek5_sdb=ek5_sdb,
+        ek5_cfg=ek5_cfg,
         n_graphs=B,
         n_shards=G,
     )
@@ -165,6 +226,7 @@ def owner_sharded_fastegnn(
     axis: str,
     n_layers: int = 4,
     gravity=None,
+    compute_dtype=jnp.float32,
 ):
     """FastEGNN forward on owned node state inside ``shard_map``.
 
@@ -195,23 +257,52 @@ def owner_sharded_fastegnn(
         )                                                  # [Nl + G*S, H+3]
 
         # ---- local edge block (all in-edges of owned rows live here) ----
-        hx_dst = jnp.take(hx, dst, axis=0, mode="clip")
-        hx_src = jnp.take(table, srcl, axis=0, mode="clip")
-        h_dst, x_dst = hx_dst[:, :H], hx_dst[:, H:]
-        h_src, x_src = hx_src[:, :H], hx_src[:, H:]
-        diff = x_dst - x_src
-        radial = jnp.sum(diff**2, axis=-1, keepdims=True)
-        e_in = jnp.concatenate([h_dst, h_src, radial, sb.edge_attr], axis=-1)
-        m_e = jax.nn.silu(_lin(p["edge_mlp_lin1"], jax.nn.silu(
-            _lin(p["edge_mlp_lin0"], e_in))))
-        gate = _lin(p["coord_mlp_r_head"], jax.nn.silu(
-            _lin(p["coord_mlp_r_lin0"], m_e)))
-        trans = diff * gate
         cnt = jnp.maximum(sb.dst_count, 1.0)
-        agg_x = segment_sum(trans, dst, Nl, mask=emask,
-                            indices_are_sorted=True) / cnt[:, None]
-        agg_e = segment_sum(m_e, dst, Nl, mask=emask,
-                            indices_are_sorted=True) / cnt[:, None]
+        cd = jnp.dtype(compute_dtype)
+        use_k = sb.ek5_idsx is not None and H == 64 and (
+            cd == jnp.bfloat16 or jax.default_backend() != "tpu")
+        if use_k:
+            # fused Pallas edge block over the local gather table: owned
+            # rows are the table prefix, so dst ids index the same space
+            from fastegnn_tpu.ops.edge_kernel_v5 import (
+                EdgeKernelV5Meta, fused_edge_block_v5)
+
+            ck, Wk, Gk, Dk, nbk, fek = sb.ek5_cfg
+            n_chunks_k = sb.ek5_w0.shape[0]
+            meta = EdgeKernelV5Meta(
+                idsx=sb.ek5_idsx, w0=sb.ek5_w0, dw0=sb.ek5_dw0,
+                sdb=sb.ek5_sdb, chunk=ck, W=Wk, G=Gk, D=Dk,
+                n_slots=n_chunks_k * ck, n_chunks=n_chunks_k,
+                n_super=sb.ek5_sdb.shape[0], n_blocks=nbk, eattr_fe=fek)
+            m_sum, t_sum = fused_edge_block_v5(
+                table[:, :H], table[:, H:], meta,
+                p["edge_mlp_lin0"]["kernel"], p["edge_mlp_lin0"]["bias"],
+                p["edge_mlp_lin1"]["kernel"], p["edge_mlp_lin1"]["bias"],
+                p["coord_mlp_r_lin0"]["kernel"],
+                p["coord_mlp_r_lin0"]["bias"],
+                p["coord_mlp_r_head"]["kernel"],
+                compute_dtype=cd,
+            )
+            agg_e = m_sum[:Nl] / cnt[:, None]
+            agg_x = t_sum[:Nl] / cnt[:, None]
+        else:
+            hx_dst = jnp.take(hx, dst, axis=0, mode="clip")
+            hx_src = jnp.take(table, srcl, axis=0, mode="clip")
+            h_dst, x_dst = hx_dst[:, :H], hx_dst[:, H:]
+            h_src, x_src = hx_src[:, :H], hx_src[:, H:]
+            diff = x_dst - x_src
+            radial = jnp.sum(diff**2, axis=-1, keepdims=True)
+            e_in = jnp.concatenate(
+                [h_dst, h_src, radial, sb.edge_attr], axis=-1)
+            m_e = jax.nn.silu(_lin(p["edge_mlp_lin1"], jax.nn.silu(
+                _lin(p["edge_mlp_lin0"], e_in))))
+            gate = _lin(p["coord_mlp_r_head"], jax.nn.silu(
+                _lin(p["coord_mlp_r_lin0"], m_e)))
+            trans = diff * gate
+            agg_x = segment_sum(trans, dst, Nl, mask=emask,
+                                indices_are_sorted=True) / cnt[:, None]
+            agg_e = segment_sum(m_e, dst, Nl, mask=emask,
+                                indices_are_sorted=True) / cnt[:, None]
 
         # ---- dense virtual block on owned rows; pools psum over the axis --
         vx_n = jnp.take(vx, gid, axis=0, mode="clip")
@@ -253,7 +344,8 @@ def owner_sharded_fastegnn(
 
 
 def make_owner_gp_forward(
-    mesh: Mesh, axis: str = "graph", n_layers: int = 4, gravity=None
+    mesh: Mesh, axis: str = "graph", n_layers: int = 4, gravity=None,
+    compute_dtype=jnp.float32,
 ) -> Callable:
     """Jitted ``fn(params, sharded_batch) -> (coords [N, 3], vloc)``.
 
@@ -264,7 +356,8 @@ def make_owner_gp_forward(
     def local(params, sb):
         sb_local = jax.tree.map(lambda a: a[0], sb)
         x, vx = owner_sharded_fastegnn(
-            params, sb_local, axis=axis, n_layers=n_layers, gravity=gravity
+            params, sb_local, axis=axis, n_layers=n_layers, gravity=gravity,
+            compute_dtype=compute_dtype,
         )
         return x[None], vx
 
@@ -293,6 +386,7 @@ def make_owner_gp_train_step(
     weight: float = 0.01,
     sample: int = 3,
     use_mmd: bool = True,
+    compute_dtype=jnp.float32,
 ) -> Callable:
     """Owner-sharded training step: MSE over owned rows (+ MMD on the
     all-gathered predicted coordinates — O(N*3) transient, not layer state);
@@ -311,7 +405,8 @@ def make_owner_gp_train_step(
             Replicated compute (virtual chain, MMD on the gathered coords)
             carries a 1/G weight per shard so it is not over-counted."""
             x, vx = owner_sharded_fastegnn(
-                params, sb, axis=axis, n_layers=n_layers, gravity=gravity
+                params, sb, axis=axis, n_layers=n_layers, gravity=gravity,
+                compute_dtype=compute_dtype,
             )
             local_se = jnp.sum((x - sb.coord_target) ** 2 * mloc)
             loss_local = local_se / jnp.maximum(global_cnt, 1.0)

@@ -210,3 +210,32 @@ def test_owner_sharded_train_step_matches_unsharded():
                     jax.tree.leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_owner_sharded_segment_path_matches_kernel_path():
+    """The owner layer has two edge-block implementations (fused v5 Pallas
+    kernel over the local gather table vs plain segment ops); both must
+    agree with each other and the unsharded model."""
+    from fastegnn_tpu.models import FastEGNN
+    from fastegnn_tpu.parallel.owner_graph import (
+        make_owner_gp_forward,
+        make_owner_sharded_batch,
+    )
+
+    G = 2
+    batch = _spatial_batch(seed=9)
+    model = FastEGNN(hidden=64, virtual_channels=3, n_layers=2)
+    params = model.init(jax.random.key(2), batch)["params"]
+    ref_x, _ = model.apply({"params": params}, batch)
+
+    mesh = Mesh(np.asarray(jax.devices()[:G]), ("graph",))
+    fwd = make_owner_gp_forward(mesh, axis="graph", n_layers=2)
+    sb_k = make_owner_sharded_batch(batch, G)
+    sb_s = make_owner_sharded_batch(batch, G, build_ek5=False)
+    assert sb_k.ek5_idsx is not None and sb_s.ek5_idsx is None
+    x_k, _ = fwd(params, sb_k)
+    x_s, _ = fwd(params, sb_s)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_s),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(ref_x),
+                               atol=2e-5, rtol=2e-5)
