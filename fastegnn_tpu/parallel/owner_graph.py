@@ -18,9 +18,11 @@ all-to-all each layer"):
   S = max boundary size, not O(N*H);
 - per-graph pools (virtual-node machinery, Gram/coordinate means) are
   partial sums combined with ``psum`` — exact;
-- XLA's async collectives let the halo all_gather overlap the local edge
-  MLP: the gather result is only needed by the src-side of the edge block,
-  which the schedule places after the dst-side work.
+- on the segment-op path, XLA's async collectives let the halo all_gather
+  overlap the dst-side edge work (the gather result is only needed by the
+  src side).  The fused-kernel path (v5 Pallas over the local gather
+  table) builds the table up front instead — its edge block is ~3x
+  faster, which outweighs the lost overlap at current halo sizes.
 
 The layer math mirrors ``EGCLVel`` (reference ``models/FastEGNN.py:192-223``)
 for the paper configuration (mean aggregation, no attention/normalize/tanh);

@@ -119,3 +119,23 @@ def test_dst_window_forward_and_grad(D):
     for a, b in zip(g, gr):
         scale = float(jnp.max(jnp.abs(b))) + 1e-9
         np.testing.assert_allclose(a / scale, b / scale, atol=3e-5)
+
+
+def test_bf16_gradients_finite_and_close():
+    """bf16 fwd+bwd: grads finite and within bf16 tolerance of f32."""
+    h, x, dst, src, ea, w = _setup()
+    meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), h.shape[0],
+                        chunk=256, W=2, G=2)
+
+    def loss(h, x, cd):
+        ms, ts = fused_edge_block_v5(h, x, meta, *w, compute_dtype=cd)
+        return jnp.sum(ms * 0.01) + jnp.sum(ts * 0.01)
+
+    g16 = jax.grad(lambda h, x: loss(h, x, jnp.bfloat16), argnums=(0, 1))(
+        h, x)
+    g32 = jax.grad(lambda h, x: loss(h, x, jnp.float32), argnums=(0, 1))(
+        h, x)
+    for a, b in zip(g16, g32):
+        assert np.isfinite(np.asarray(a, np.float32)).all()
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))) < 3e-2 * scale
