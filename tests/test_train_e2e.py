@@ -197,3 +197,31 @@ def test_dimenet_trains_on_nbody(tiny_data):
     )
     assert np.isfinite(log["loss_train"][-1])
     assert log["loss_train"][-1] < log["loss_train"][0]
+
+
+def test_rollout_fixed_graph_equivariant():
+    """Multi-step jitted rollout: finite, and the WHOLE trajectory is
+    equivariant (rotate input -> rotated trajectory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastegnn_tpu.models import FastEGNN
+    from fastegnn_tpu.ops.rotation import random_rotation
+    from fastegnn_tpu.train.rollout import make_rollout
+    from helpers import make_batch
+
+    batch, _, _ = make_batch(np.random.default_rng(4), n_graphs=2,
+                             virtual_channels=2)
+    model = FastEGNN(hidden=16, virtual_channels=2, n_layers=1)
+    params = model.init(jax.random.key(0), batch)["params"]
+    roll = make_rollout(model, n_steps=3)
+    traj, vfin = roll(params, batch)
+    assert traj.shape[0] == 3 and np.isfinite(np.asarray(traj)).all()
+
+    R = jnp.asarray(random_rotation(np.random.default_rng(1)))
+    batch_r = batch.replace(
+        coord=batch.coord @ R.T, vel=batch.vel @ R.T,
+        loc_mean=jnp.einsum("ij,bjc->bic", R, batch.loc_mean))
+    traj_r, _ = roll(params, batch_r)
+    np.testing.assert_allclose(
+        np.asarray(traj_r), np.asarray(traj @ R.T), atol=2e-4)
