@@ -91,3 +91,14 @@ def test_pack_v5_native_matches_python():
                                       np.asarray(m_py.dw0))
         np.testing.assert_array_equal(np.asarray(m_nat.sdb),
                                       np.asarray(m_py.sdb))
+
+
+def test_counting_argsort_matches_numpy_stable():
+    from fastegnn_tpu import native
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(-3, 50, 4000).astype(np.int32)  # incl out-of-range
+    got = native.counting_argsort(keys, 40)
+    want = np.argsort(np.where((keys >= 0) & (keys < 40), keys, 40),
+                      kind="stable").astype(np.int32)
+    np.testing.assert_array_equal(got, want)
