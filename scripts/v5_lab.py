@@ -522,8 +522,8 @@ def main():
         cot_m = jnp.asarray(rng.standard_normal((N, H)), jnp.float32)
         cot_t = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
 
-        for chunk, W, G in [(256, 2, 4), (256, 2, 8), (512, 2, 4),
-                            (256, 4, 8)]:
+        for chunk, W, G in [(256, 2, 4), (256, 2, 8), (128, 2, 8),
+                            (128, 2, 16)]:
             meta = make_v5_meta(dst, src, ea, np.ones(E, bool), N,
                                 chunk=chunk, W=W, G=G)
             pad = (meta["n_slots"] - E) / E * 100
