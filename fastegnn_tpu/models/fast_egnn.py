@@ -57,7 +57,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from fastegnn_tpu.graph import GraphBatch
-from fastegnn_tpu.models.nn import MLP, CoordMLP, Linear
+from fastegnn_tpu.models.nn import MLP, Linear, SplitCoordMLP, SplitMLP
 from fastegnn_tpu.ops.segment import (
     graph_mean_pool,
     segment_count,
@@ -137,15 +137,22 @@ class EGCLVel(fnn.Module):
             g = r_head(fnn.silu(r_lin0(z)))
             return jnp.tanh(g) if self.tanh else g
 
-        edge_mlp_virtual = MLP([H, H], act_final=True, name="edge_mlp_virtual")
-        coord_mlp_r_virtual = CoordMLP(H, tanh=self.tanh, name="coord_mlp_r_virtual")
-        coord_mlp_v_virtual = CoordMLP(H, tanh=self.tanh, name="coord_mlp_v_virtual")
-        coord_mlp_vel = MLP([H, 1], name="coord_mlp_vel")
+        # virtual-block MLPs are Split* modules: identical param trees to
+        # MLP/CoordMLP, but the fast path below re-associates their dots
+        # from the raw weights (scripts/vblock_lab.py "flat3")
+        edge_mlp_virtual = SplitMLP(H, H, act_final=True, name="edge_mlp_virtual")
+        coord_mlp_r_virtual = SplitCoordMLP(
+            H, tanh=self.tanh, name="coord_mlp_r_virtual"
+        )
+        coord_mlp_v_virtual = SplitCoordMLP(
+            H, tanh=self.tanh, name="coord_mlp_v_virtual"
+        )
+        coord_mlp_vel = SplitMLP(H, 1, name="coord_mlp_vel")
         node_mlp = MLP([H, H], name="node_mlp")
         node_mlp_virtual = MLP([H, H], name="node_mlp_virtual")
         att_mlp = Linear(1, name="att_mlp") if self.attention else None
         att_mlp_virtual = Linear(1, name="att_mlp_virtual") if self.attention else None
-        gravity_mlp = MLP([H, 1], name="gravity_mlp") if self.has_gravity else None
+        gravity_mlp = SplitMLP(H, 1, name="gravity_mlp") if self.has_gravity else None
 
         # ---- sparse real<->real edge block (local edges) ----
         use_pallas = graph.csr_dst is not None
@@ -332,37 +339,78 @@ class EGCLVel(fnn.Module):
         )                                                 # [B, 3]
         m_x = vx - coord_mean[:, None, :].astype(vx.dtype)  # [B, C, 3]
         gram = jnp.einsum("bci,bdi->bcd", m_x, m_x)       # [B, C, C]
-        vh_n = btake(vh.reshape(n_graphs, C * H))         # [n_loc, C*H]
-        gram_n = btake(gram.reshape(n_graphs, C * C))     # [n_loc, C*C]
-        ev_in = jnp.concatenate(
-            [
-                jnp.repeat(h_l.astype(cd), C, axis=0).reshape(n_loc * C, H),
-                vh_n.reshape(n_loc * C, H).astype(cd),
-                vrad.reshape(n_loc * C, 1).astype(cd),
-                gram_n.reshape(n_loc * C, C).astype(cd),
-            ],
-            axis=-1,
-        )                                                 # [n_loc*C, 2H+1+C]
-        m_v = edge_mlp_virtual(ev_in)                     # [n_loc*C, H] (cd)
+
+        # First-layer split of phi_ev: its input concat [h | vh | vrad | gram]
+        # never materialises.  z1[n,c] = h[n] W0h + vrad[n,c] w0r
+        # + (vh W0v + gram W0g + b0)[g(n),c] — the per-graph summand is a
+        # tiny [B,C,H] tensor gathered per node, the h dot is shared across
+        # channels, and vrad enters as a rank-1 outer product.  Exact
+        # re-association of models/FastEGNN.py:111-119 (flat3 in
+        # scripts/vblock_lab.py: 2.33 -> 0.58 ms/layer fwd+bwd on-chip).
+        W0, b0, W1, b1 = edge_mlp_virtual.weights(2 * H + 1 + C)
+        zh = h_l.astype(cd) @ W0[:H].astype(cd)           # [n_loc, H]
+        zb = (
+            vh.astype(cd) @ W0[H : 2 * H].astype(cd)
+            + gram.astype(cd) @ W0[2 * H + 1 :].astype(cd)
+            + b0.astype(cd)
+        )                                                 # [B, C, H]
+        zb_n = btake(zb.reshape(n_graphs, C * H)).reshape(n_loc * C, H)
+        z1 = (
+            zh[:, None, :]
+            + vrad[:, :, None].astype(cd) * W0[2 * H].astype(cd)
+        ).reshape(n_loc * C, H) + zb_n
+        m_v = fnn.silu(fnn.silu(z1) @ W1.astype(cd) + b1.astype(cd))
         if self.attention:
             m_v = m_v * fnn.sigmoid(att_mlp_virtual(m_v))
 
+        # combined gate heads (phi_xv, phi_X): one [H,2H] dot + a block-diag
+        # [2H,2] head instead of two separate CoordMLPs over m_v
+        Wr0, br0, wr1 = coord_mlp_r_virtual.weights()
+        Wv0, bv0, wv1 = coord_mlp_v_virtual.weights()
+        G1 = jnp.concatenate([Wr0, Wv0], axis=1)          # [H, 2H]
+        bG = jnp.concatenate([br0, bv0])                  # [2H]
+        G2 = jnp.zeros((2 * H, 2), jnp.float32)
+        G2 = G2.at[:H, 0].set(wr1[:, 0]).at[H:, 1].set(wv1[:, 0])
+        gates2 = (
+            fnn.silu(m_v @ G1.astype(cd) + bG.astype(cd)) @ G2.astype(cd)
+        ).astype(jnp.float32)                             # [n_loc*C, 2]
+        if self.tanh:
+            gates2 = jnp.tanh(gates2)
+        gate_xv = gates2[:, 0].reshape(n_loc, C)
+        gate_X = gates2[:, 1].reshape(n_loc, C)
+
+        # combined velocity/gravity heads over h (phi_v, phi_g)
+        Wvel0, bvel0, Wvel1, bvel1 = coord_mlp_vel.weights(H)
+        if self.has_gravity:
+            Wg0, bg0, Wg1, bg1 = gravity_mlp.weights(H)
+            Hh1 = jnp.concatenate([Wvel0, Wg0], axis=1)   # [H, 2H]
+            bHh = jnp.concatenate([bvel0, bg0])
+            Hh2 = jnp.zeros((2 * H, 2), jnp.float32)
+            Hh2 = Hh2.at[:H, 0].set(Wvel1[:, 0]).at[H:, 1].set(Wg1[:, 0])
+            hg = (
+                fnn.silu(h_l.astype(cd) @ Hh1.astype(cd) + bHh.astype(cd))
+                @ Hh2.astype(cd)
+            ).astype(jnp.float32) + jnp.concatenate([bvel1, bg1])
+            vel_gate, grav_gate = hg[:, 0:1], hg[:, 1:2]
+        else:
+            vel_gate = (
+                fnn.silu(h_l.astype(cd) @ Wvel0.astype(cd) + bvel0.astype(cd))
+                @ Wvel1.astype(cd)
+            ).astype(jnp.float32) + bvel1
+            grav_gate = None
+
         # ---- coordinate update, owned real rows ----
         x_new_l = x_l + agg_x_l
-        gate_xv = coord_mlp_r_virtual(m_v).astype(jnp.float32)  # [n_loc*C, 1]
         vdiff3 = vdiff.reshape(n_loc, C, 3)
         x_new_l = x_new_l + jnp.einsum(
-            "ncd,nc->nd", -vdiff3, gate_xv.reshape(n_loc, C)
+            "ncd,nc->nd", -vdiff3, gate_xv
         ) * (1.0 / C)
-        x_new_l = x_new_l + coord_mlp_vel(h_l.astype(cd)).astype(jnp.float32) * v_l
+        x_new_l = x_new_l + vel_gate * v_l
         if self.has_gravity:
-            x_new_l = x_new_l + (
-                gravity_mlp(h_l.astype(cd)).astype(jnp.float32) * gravity
-            )
+            x_new_l = x_new_l + grav_gate * gravity
 
         # ---- virtual updates (replicated outputs; pools psum over ax) ----
-        gate_X = coord_mlp_v_virtual(m_v).astype(jnp.float32)   # [n_loc*C, 1]
-        vxg = (vdiff3 * gate_X.reshape(n_loc, C, 1)).reshape(n_loc, C * 3)
+        vxg = (vdiff3 * gate_X[:, :, None]).reshape(n_loc, C * 3)
         m_v_flat = m_v.reshape(n_loc, C * H)              # [C,H]-order (doc)
         pooled = bpool(
             jnp.concatenate(

@@ -112,3 +112,69 @@ class CoordMLP(fnn.Module):
         if self.tanh:
             x = jnp.tanh(x)
         return x
+
+
+class SplitMLP(fnn.Module):
+    """Two-Linear MLP whose raw weights are also accessible (identity trick).
+
+    Param tree is identical to ``MLP([hidden, out])`` (scopes ``lin0``,
+    ``lin1``), but callers on a fused/re-associated fast path can pull the
+    weight matrices out *differentiably* via :meth:`weights` — e.g. to split
+    the first-layer dot over concatenated input blocks (the flat3 virtual
+    block, scripts/vblock_lab.py) or to feed a Pallas kernel.
+    """
+
+    hidden: int
+    out: int
+    act: Callable = fnn.silu
+    act_final: bool = False
+
+    def setup(self):
+        self.lin0 = Linear(self.hidden)
+        self.lin1 = Linear(self.out)
+
+    def __call__(self, x):
+        x = self.act(self.lin0(x))
+        x = self.lin1(x)
+        if self.act_final:
+            x = self.act(x)
+        return x
+
+    def weights(self, in_dim: int):
+        """Return ``(W0 [in_dim,hidden], b0, W1 [hidden,out], b1)``."""
+        b0 = self.lin0(jnp.zeros((1, in_dim)))[0]
+        W0 = self.lin0(jnp.eye(in_dim, dtype=jnp.float32)) - b0
+        b1 = self.lin1(jnp.zeros((1, self.hidden)))[0]
+        W1 = self.lin1(jnp.eye(self.hidden, dtype=jnp.float32)) - b1
+        return W0, b0, W1, b1
+
+
+class SplitCoordMLP(fnn.Module):
+    """:class:`CoordMLP` with raw-weight access; param tree identical
+    (scopes ``lin0``, ``head``).  The ``tanh`` flag is NOT applied inside
+    :meth:`weights` callers — apply it elementwise after the head dot."""
+
+    hidden: int
+    act: Callable = fnn.silu
+    tanh: bool = False
+
+    def setup(self):
+        self.lin0 = Linear(self.hidden)
+        self.head = Linear(
+            1, use_bias=False, kernel_init=xavier_uniform_gain(0.001)
+        )
+
+    def __call__(self, x):
+        x = self.act(self.lin0(x))
+        x = self.head(x)
+        if self.tanh:
+            x = jnp.tanh(x)
+        return x
+
+    def weights(self):
+        """Return ``(W0 [hidden,hidden], b0, w1 [hidden,1])``."""
+        b0 = self.lin0(jnp.zeros((1, self.hidden)))[0]
+        eyeH = jnp.eye(self.hidden, dtype=jnp.float32)
+        W0 = self.lin0(eyeH) - b0
+        w1 = self.head(eyeH)  # no bias
+        return W0, b0, w1
