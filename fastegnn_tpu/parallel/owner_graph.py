@@ -306,40 +306,65 @@ def owner_sharded_fastegnn(
             agg_e = segment_sum(m_e, dst, Nl, mask=emask,
                                 indices_are_sorted=True) / cnt[:, None]
 
-        # ---- dense virtual block on owned rows; pools psum over the axis --
-        vx_n = jnp.take(vx, gid, axis=0, mode="clip")
-        vh_n = jnp.take(vh, gid, axis=0, mode="clip")
-        vdiff = vx_n - x[:, None, :]
-        vrad = jnp.linalg.norm(vdiff, axis=-1, keepdims=True)
+        # ---- dense virtual block on owned rows (flat3 re-association,
+        # models/fast_egnn.py); pools psum over the axis --
+        vx_nf = jnp.take(vx.reshape(B, C * 3), gid, axis=0, mode="clip")
+        vdiff = vx_nf - jnp.tile(x, (1, C))                # [Nl, 3C]
+        vrad = jnp.sqrt(jnp.sum((vdiff * vdiff).reshape(Nl, C, 3), axis=-1))
         coord_mean = graph_mean_pool(x, gid, B, nmask, axis=axis)
         m_x = vx - coord_mean[:, None, :]
         gram = jnp.einsum("bci,bdi->bcd", m_x, m_x)
-        gram_n = jnp.take(gram, gid, axis=0, mode="clip")
-        ev_in = jnp.concatenate(
-            [jnp.broadcast_to(h[:, None, :], (Nl, C, H)), vh_n, vrad, gram_n],
-            axis=-1,
-        )
-        m_v = _mlp(p["edge_mlp_virtual"], ev_in, act_final=True)
+        # first-layer split of phi_ev (no [Nl*C, 2H+1+C] input concat)
+        pe = p["edge_mlp_virtual"]
+        W0, b0 = pe["lin0"]["kernel"], pe["lin0"]["bias"]
+        zh = h.astype(cd) @ W0[:H].astype(cd)              # [Nl, H]
+        zb = (
+            vh.astype(cd) @ W0[H : 2 * H].astype(cd)
+            + gram.astype(cd) @ W0[2 * H + 1 :].astype(cd)
+            + b0.astype(cd)
+        )                                                  # [B, C, H]
+        zb_n = jnp.take(
+            zb.reshape(B, C * H), gid, axis=0, mode="clip"
+        ).reshape(Nl * C, H)
+        z1 = (
+            zh[:, None, :] + vrad[:, :, None].astype(cd) * W0[2 * H].astype(cd)
+        ).reshape(Nl * C, H) + zb_n
+        m_v = jax.nn.silu(
+            jax.nn.silu(z1) @ pe["lin1"]["kernel"].astype(cd)
+            + pe["lin1"]["bias"].astype(cd)
+        )                                                  # [Nl*C, H]
+        # combined coordinate-gate heads (phi_xv, phi_X)
+        pr, pv = p["coord_mlp_r_virtual"], p["coord_mlp_v_virtual"]
+        G1 = jnp.concatenate(
+            [pr["lin0"]["kernel"], pv["lin0"]["kernel"]], axis=1)
+        bG = jnp.concatenate([pr["lin0"]["bias"], pv["lin0"]["bias"]])
+        G2 = jnp.zeros((2 * H, 2), jnp.float32)
+        G2 = G2.at[:H, 0].set(pr["head"]["kernel"][:, 0])
+        G2 = G2.at[H:, 1].set(pv["head"]["kernel"][:, 0])
+        gates2 = (
+            jax.nn.silu(m_v @ G1.astype(cd) + bG.astype(cd)) @ G2.astype(cd)
+        ).astype(jnp.float32)                              # [Nl*C, 2]
+        gate_xv = gates2[:, 0].reshape(Nl, C)
+        gate_X = gates2[:, 1].reshape(Nl, C)
+        vdiff3 = vdiff.reshape(Nl, C, 3)
 
         x_new = x + agg_x
-        x_new = x_new + jnp.mean(
-            -vdiff * _coord_mlp(p["coord_mlp_r_virtual"], m_v), axis=1
-        )
+        x_new = x_new + jnp.einsum("ncd,nc->nd", -vdiff3, gate_xv) / C
         x_new = x_new + _mlp(p["coord_mlp_vel"], h) * v
         if g is not None:
             x_new = x_new + _mlp(p["gravity_mlp"], h) * g
 
-        vx = vx + graph_mean_pool(
-            vdiff * _coord_mlp(p["coord_mlp_v_virtual"], m_v), gid, B, nmask,
-            axis=axis,
-        )
-        pool_mv = graph_mean_pool(m_v, gid, B, nmask, axis=axis)
+        vxg = (vdiff3 * gate_X[:, :, None]).reshape(Nl, C * 3)
+        m_v32 = m_v.astype(jnp.float32).reshape(Nl, C * H)
+        pooled = graph_mean_pool(
+            jnp.concatenate([vxg, m_v32], axis=-1), gid, B, nmask, axis=axis)
+        vx = vx + pooled[:, : C * 3].reshape(B, C, 3)
+        pool_mv = pooled[:, C * 3 :].reshape(B, C, H)
         vh = vh + _mlp(p["node_mlp_virtual"],
                        jnp.concatenate([vh, pool_mv], axis=-1))
 
-        flat_mv = m_v.reshape(Nl, C * H)
         h = h + _mlp(p["node_mlp"],
-                     jnp.concatenate([h, agg_e, flat_mv], axis=-1))
+                     jnp.concatenate([h, agg_e, m_v32], axis=-1))
         x = x_new
 
     return x, jnp.transpose(vx, (0, 2, 1))
