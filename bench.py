@@ -21,6 +21,31 @@ Prints ONE JSON line.
 
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+
+# Fail fast instead of hanging forever when the axon TPU tunnel is wedged
+# (a SIGTERM-killed TPU run can hold the pool grant server-side; then every
+# backend init blocks in make_c_api_client).  Probe in a subprocess with a
+# timeout BEFORE importing jax in this process; report honestly and exit
+# nonzero — never print a fabricated metric line.
+if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
+        "_FASTEGNN_BENCH_NOPROBE"):
+    try:
+        _probe_ok = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.default_backend()"],
+            timeout=120, capture_output=True, check=False,
+        ).returncode == 0
+    except subprocess.TimeoutExpired:
+        _probe_ok = False
+    if not _probe_ok:
+        sys.stderr.write(
+            "bench.py: TPU backend init did not complete within 120 s — "
+            "axon tunnel wedged/unavailable; refusing to hang or emit a "
+            "fake metric.\n")
+        sys.exit(1)
+
 import json
 import jax.numpy as jnp
 import time
