@@ -148,7 +148,7 @@ class EGCLVel(fnn.Module):
             H, tanh=self.tanh, name="coord_mlp_v_virtual"
         )
         coord_mlp_vel = SplitMLP(H, 1, name="coord_mlp_vel")
-        node_mlp = MLP([H, H], name="node_mlp")
+        node_mlp = SplitMLP(H, H, name="node_mlp")
         node_mlp_virtual = MLP([H, H], name="node_mlp_virtual")
         att_mlp = Linear(1, name="att_mlp") if self.attention else None
         att_mlp_virtual = Linear(1, name="att_mlp_virtual") if self.attention else None
@@ -426,10 +426,20 @@ class EGCLVel(fnn.Module):
         vh_new = vh + dvh if self.residual else dvh
 
         # ---- node feature update, owned rows ----
-        h_parts = [h_l.astype(cd), agg_e_l.astype(cd), m_v_flat.astype(cd)]
+        # first-layer split of phi_h: no [n_loc, 2H+CH(+attr)] input concat
+        na_dim = 0 if na_l is None else na_l.shape[1]
+        K0, k0b, K1, k1b = node_mlp.weights(2 * H + C * H + na_dim)
+        z1h = (
+            h_l.astype(cd) @ K0[:H].astype(cd)
+            + agg_e_l.astype(cd) @ K0[H : 2 * H].astype(cd)
+            + m_v_flat.astype(cd) @ K0[2 * H : 2 * H + C * H].astype(cd)
+            + k0b.astype(cd)
+        )
         if na_l is not None:
-            h_parts.append(na_l.astype(cd))
-        dh = node_mlp(jnp.concatenate(h_parts, axis=-1)).astype(jnp.float32)
+            z1h = z1h + na_l.astype(cd) @ K0[2 * H + C * H :].astype(cd)
+        dh = (fnn.silu(z1h) @ K1.astype(cd) + k1b.astype(cd)).astype(
+            jnp.float32
+        )
         h_new_l = h_l + dh if self.residual else dh
 
         if ax is None:
