@@ -114,7 +114,10 @@ def make_train_step(
     loss_fn = make_loss_fn(model, sigma, weight, sample, per_graph_sampling,
                            use_mmd, apply_fn)
 
+    n_traces = [0]  # incremented per TRACE (jit cache miss), not per call
+
     def step(state: TrainState, graph, key):
+        n_traces[0] += 1
         def flat_loss(pf, graph, key):
             return loss_fn(state.unravel(pf), graph, key)
 
@@ -127,7 +130,13 @@ def make_train_step(
                                   step=state.step + 1)
         return new_state, {"loss": total, "mse": mse, "mmd": mmd}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    # retrace observability: jax's C++ pjit cache is a GLOBAL shared LRU
+    # (jax/_src/pjit.py capacity=8192), so ``_cache_size()`` can legally
+    # drop to 0 under session-wide cache pressure; the trace counter is the
+    # reliable "did this batch spec force a recompile" signal (tests).
+    jitted.n_traces = n_traces
+    return jitted
 
 
 def make_eval_step(
