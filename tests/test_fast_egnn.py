@@ -133,3 +133,35 @@ def test_gravity_breaks_full_rotation_but_keeps_y(model_and_params):
     np.testing.assert_allclose(
         np.asarray(x1)[mask], (np.asarray(x0) @ R)[mask], atol=1e-4, rtol=1e-4
     )
+
+
+def test_split_mlp_weight_extraction():
+    """SplitMLP/SplitCoordMLP raw weights reproduce their own __call__ and
+    keep the MLP/CoordMLP param trees (torch import compatibility)."""
+    import jax.numpy as jnp
+    from fastegnn_tpu.models.nn import (
+        MLP, CoordMLP, SplitCoordMLP, SplitMLP)
+
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (5, 12))
+
+    sm = SplitMLP(8, 4, act_final=True)
+    params = sm.init(key, x)
+    y = sm.apply(params, x)
+    W0, b0, W1, b1 = sm.apply(params, 12, method=SplitMLP.weights)
+    y2 = jax.nn.silu(jax.nn.silu(x @ W0 + b0) @ W1 + b1)
+    assert jnp.allclose(y, y2, atol=1e-6)
+    # identical tree to MLP
+    ref = MLP([8, 4], act_final=True).init(key, x)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+    assert jnp.allclose(MLP([8, 4], act_final=True).apply(params, x), y)
+
+    cm = SplitCoordMLP(12)
+    params_c = cm.init(key, x)
+    yc = cm.apply(params_c, x)
+    Wc0, bc0, wc1 = cm.apply(params_c, method=SplitCoordMLP.weights)
+    yc2 = jax.nn.silu(x @ Wc0 + bc0) @ wc1
+    assert jnp.allclose(yc, yc2, atol=1e-6)
+    ref_c = CoordMLP(12).init(key, x)
+    assert jax.tree.structure(ref_c) == jax.tree.structure(params_c)
+    assert jnp.allclose(CoordMLP(12).apply(params_c, x), yc)
