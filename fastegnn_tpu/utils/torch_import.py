@@ -235,15 +235,12 @@ def _base_mlp(sd, prefix):
     return {"lin0": _linear(sd, f"{prefix}.mlp.0"), "lin1": _linear(sd, f"{prefix}.mlp.2")}
 
 
-def params_from_egnn_state_dict(
-    state_dict: Dict[str, "np.ndarray"], n_layers: int = 4, with_v: bool = True
-) -> dict:
-    """Flax params for :class:`~fastegnn_tpu.models.EGNN` from the reference
-    ``models/basic.py`` EGNN state dict (``basic.py:285-341``)."""
-    sd = state_dict
-    params: dict = {"embedding": _linear(sd, "embedding")}
+def _egnn_params(sd, prefix: str, n_layers: int, with_v: bool) -> dict:
+    """EGNN params under a state-dict ``prefix`` ('' for top-level EGNN;
+    'low_force_net.' / 'high_force_net.' inside EGHN, ``basic.py:586-593``)."""
+    params: dict = {"embedding": _linear(sd, f"{prefix}embedding")}
     for i in range(n_layers):
-        p = f"layers.{i}"
+        p = f"{prefix}layers.{i}"
         layer = {
             "edge_message_net": {
                 "scalar_net": _base_mlp(sd, f"{p}.edge_message_net.scalar_net")
@@ -254,6 +251,137 @@ def params_from_egnn_state_dict(
         if with_v:
             layer["node_v_net"] = _base_mlp(sd, f"{p}.node_v_net")
         params[f"layer_{i}"] = layer
+    return params
+
+
+def params_from_egnn_state_dict(
+    state_dict: Dict[str, "np.ndarray"], n_layers: int = 4, with_v: bool = True
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.EGNN` from the reference
+    ``models/basic.py`` EGNN state dict (``basic.py:285-341``)."""
+    params = _egnn_params(state_dict, "", n_layers, with_v)
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def params_from_eghn_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    layer_per_block: int = 3,
+    layer_pooling: int = 4,
+    layer_decoder: int = 2,
+    with_v: bool = True,
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.EGHN` from the reference
+    ``EGHN`` state dict (``basic.py:571-736``; protein config
+    ``main_protein.py:133``): embedding + low/high EGNN force nets +
+    PoolingNet (``basic.py:546-568``) + EGMN/EquivariantScalarNet decoder."""
+    sd = state_dict
+    pooling = {
+        "pool0": _linear(sd, "low_pooling.pooling.0"),
+        "pool1": _linear(sd, "low_pooling.pooling.2"),
+    }
+    for i in range(layer_pooling):
+        p = f"low_pooling.layers.{i}"
+        pooling[f"layer_{i}"] = {
+            "edge_message_net": {
+                "in_scalar_net": _base_mlp(sd, f"{p}.edge_message_net.in_scalar_net"),
+                "out_vector_net": _base_mlp(sd, f"{p}.edge_message_net.out_vector_net"),
+            },
+            "node_net": _base_mlp(sd, f"{p}.node_net"),
+        }
+    if layer_decoder == 1:
+        kin = {
+            "in_scalar_net": _base_mlp(sd, "kinematics_net.in_scalar_net"),
+            "out_vector_net": _base_mlp(sd, "kinematics_net.out_vector_net"),
+            "out_scalar_net": _base_mlp(sd, "kinematics_net.out_scalar_net"),
+        }
+    else:
+        kin = {
+            f"layer_{i}": {
+                "in_scalar_net": _base_mlp(sd, f"kinematics_net.layers.{i}.in_scalar_net"),
+                "out_vector_net": _base_mlp(sd, f"kinematics_net.layers.{i}.out_vector_net"),
+                "out_scalar_net": _base_mlp(sd, f"kinematics_net.layers.{i}.out_scalar_net"),
+            }
+            for i in range(layer_decoder)
+        }
+    params = {
+        "embedding": _linear(sd, "embedding"),
+        "low_force_net": _egnn_params(sd, "low_force_net.", layer_per_block, with_v),
+        "high_force_net": _egnn_params(sd, "high_force_net.", layer_per_block, with_v),
+        "low_pooling": pooling,
+        "kinematics_net": kin,
+    }
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def params_from_gnn_state_dict(
+    state_dict: Dict[str, "np.ndarray"], n_layers: int = 4
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.GNN` from the reference
+    ``models/basic.py`` GNN state dict (``basic.py:382-404``)."""
+    sd = state_dict
+    params: dict = {
+        "embedding": _linear(sd, "embedding"),
+        "dec0": _linear(sd, "decoder.0"),
+        "dec1": _linear(sd, "decoder.2"),
+    }
+    for i in range(n_layers):
+        p = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "edge_message_net": _base_mlp(sd, f"{p}.edge_message_net"),
+            "node_net": _base_mlp(sd, f"{p}.node_net"),
+        }
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def params_from_rfvel_state_dict(
+    state_dict: Dict[str, "np.ndarray"], n_layers: int = 4
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.RFVel` from the reference
+    ``RF_vel`` state dict (``basic.py:418-447``: per-cell ``phi`` Sequential
+    and ``coord_mlp_vel``)."""
+    sd = state_dict
+    params: dict = {}
+    for i in range(n_layers):
+        g = f"gcl_{i}"
+        params[g] = {
+            "phi0": _linear(sd, f"{g}.phi.0"),
+            "phi1": _linear(sd, f"{g}.phi.2", bias=False),
+            "vel0": _linear(sd, f"{g}.coord_mlp_vel.0"),
+            "vel1": _linear(sd, f"{g}.coord_mlp_vel.2"),
+        }
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def params_from_linear_dynamics_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+) -> dict:
+    """``Linear_dynamics`` (``basic.py:407-415``): a single scalar ``time``."""
+    return {"time": _np(state_dict["time"])}
+
+
+def params_from_egmn_state_dict(
+    state_dict: Dict[str, "np.ndarray"], n_layers: int = 4
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.EGMN` from the reference
+    ``EGMN`` state dict (``basic.py:344-361``: stacked EquivariantScalarNets
+    with in_scalar/out_vector/out_scalar BaseMLPs)."""
+    sd = state_dict
+    params: dict = {}
+    for i in range(n_layers):
+        p = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "in_scalar_net": _base_mlp(sd, f"{p}.in_scalar_net"),
+            "out_vector_net": _base_mlp(sd, f"{p}.out_vector_net"),
+            "out_scalar_net": _base_mlp(sd, f"{p}.out_scalar_net"),
+        }
     import jax
 
     return jax.tree.map(lambda x: np.asarray(x, np.float32), params)

@@ -74,8 +74,12 @@ def _build_shims():
 
     # ---- torch_sparse.spmm ----
     def spmm(index, value, m, n, matrix):
-        """Sparse [m, n] (COO ``index``, ``value``) @ dense ``matrix``."""
-        sp = torch.sparse_coo_tensor(index, value, (m, n))
+        """Sparse [m, n] (COO ``index``, ``value``) @ dense ``matrix``.
+
+        ``value`` is cast to the dense dtype — the reference passes integer
+        ``torch.ones_like(row)`` values (``models/basic.py:668-673``), which
+        real torch_sparse accepts."""
+        sp = torch.sparse_coo_tensor(index, value.to(matrix.dtype), (m, n))
         return torch.sparse.mm(sp, matrix)
 
     torch_sparse = types.ModuleType("torch_sparse")

@@ -298,3 +298,152 @@ def test_fastegnn_parity_with_padding(ref_fastegnn):
     loc, _ = model.apply({"params": params}, batch)
     ours = np.asarray(loc)[np.asarray(batch.node_mask)]
     np.testing.assert_allclose(ours, ref_loc.numpy(), atol=1e-4)
+
+
+def test_gnn_parity():
+    from fastegnn_tpu.models import GNN
+    from fastegnn_tpu.utils.torch_import import params_from_gnn_state_dict
+
+    mod = load_reference_module("models/basic.py")
+    torch.manual_seed(19)
+    ref = mod.GNN(n_layers=L, in_node_nf=6, in_edge_nf=2, hidden_nf=H)
+    ref.eval()
+    rng = np.random.default_rng(12)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    with torch.no_grad():
+        # trainer wiring: h = cat[loc, vel] (utils/train.py:80-82)
+        ref_out = ref(
+            h=torch.cat([tin["node_loc"], tin["node_vel"]], dim=1),
+            edge_index=tin["edge_index"], edge_fea=tin["edge_attr"],
+        )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_gnn_state_dict(sd, n_layers=L)
+    model = GNN(hidden=H, n_layers=L)
+    out = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=1e-4)
+
+
+def test_linear_dynamics_parity():
+    from fastegnn_tpu.models import LinearDynamics
+    from fastegnn_tpu.utils.torch_import import (
+        params_from_linear_dynamics_state_dict)
+
+    mod = load_reference_module("models/basic.py")
+    ref = mod.Linear_dynamics()
+    with torch.no_grad():
+        ref.time.mul_(1.7)  # non-trivial learned value
+    ref.eval()
+    rng = np.random.default_rng(13)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    with torch.no_grad():
+        ref_out = ref(x=tin["node_loc"], v=tin["node_vel"])
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_linear_dynamics_state_dict(sd)
+    out = LinearDynamics().apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=1e-6)
+
+
+def test_rfvel_parity():
+    from fastegnn_tpu.models import RFVel
+    from fastegnn_tpu.utils.torch_import import params_from_rfvel_state_dict
+
+    mod = load_reference_module("models/basic.py")
+    torch.manual_seed(23)
+    ref = mod.RF_vel(hidden_nf=H, edge_attr_nf=2, n_layers=L)
+    ref.eval()
+    rng = np.random.default_rng(14)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    with torch.no_grad():
+        vel_norm = torch.sqrt(
+            torch.sum(tin["node_vel"] ** 2, dim=1).unsqueeze(1))
+        ref_out = ref(vel_norm=vel_norm, x=tin["node_loc"],
+                      edges=tin["edge_index"], vel=tin["node_vel"],
+                      edge_attr=tin["edge_attr"])
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_rfvel_state_dict(sd, n_layers=L)
+    out = RFVel(hidden=H, n_layers=L).apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), atol=1e-4)
+
+
+def test_egmn_parity():
+    from fastegnn_tpu.models import EGMN
+    from fastegnn_tpu.utils.torch_import import params_from_egmn_state_dict
+
+    mod = load_reference_module("models/basic.py")
+    torch.manual_seed(29)
+    ref = mod.EGMN(n_layers=3, n_vector_input=2, hidden_dim=H,
+                   n_scalar_input=2)
+    ref.eval()
+    rng = np.random.default_rng(15)
+    loc = rng.normal(size=(10, 3)).astype(np.float32)
+    vel = rng.normal(size=(10, 3)).astype(np.float32)
+    feat = rng.normal(size=(10, 2)).astype(np.float32)
+    with torch.no_grad():
+        ref_vec, ref_scal = ref(
+            [torch.tensor(loc), torch.tensor(vel)], torch.tensor(feat))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_egmn_state_dict(sd, n_layers=3)
+    import jax.numpy as jnp
+    vec, scal = EGMN(hidden=H, n_layers=3).apply(
+        {"params": params}, [jnp.asarray(loc), jnp.asarray(vel)],
+        jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(vec), ref_vec.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scal), ref_scal.numpy(), atol=1e-4)
+
+
+def test_eghn_parity():
+    """Live-torch EGHN (protein config, main_protein.py:133) vs ours:
+    coords, features, and the auxiliary cut loss."""
+    from fastegnn_tpu.models import EGHN
+    from fastegnn_tpu.utils.torch_import import params_from_eghn_state_dict
+
+    mod = load_reference_module("models/basic.py")
+    torch.manual_seed(31)
+    ref = mod.EGHN(in_node_nf=2, in_edge_nf=2, hidden_nf=32, n_cluster=4,
+                   layer_per_block=2, layer_pooling=2, layer_decoder=2,
+                   with_v=True)
+    ref.eval()
+    rng = np.random.default_rng(16)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    n = spec.max_nodes
+    # local (bond) graph: a ring per graph, both directions
+    ld, ls = [], []
+    for g in range(2):
+        i = np.arange(n) + g * n
+        j = np.roll(np.arange(n), -1) + g * n
+        ld += [i, j]
+        ls += [j, i]
+    local_dst = np.concatenate(ld).astype(np.int32)
+    local_src = np.concatenate(ls).astype(np.int32)
+    lea = rng.normal(size=(local_dst.size, 2)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_x, _, ref_h = ref(
+            x=tin["node_loc"], h=tin["node_feat"],
+            edge_index=tin["edge_index"], edge_fea=tin["edge_attr"],
+            local_edge_index=(
+                torch.tensor(local_dst, dtype=torch.long),
+                torch.tensor(local_src, dtype=torch.long),
+            ),
+            local_edge_fea=torch.tensor(lea),
+            n_node=torch.tensor([n]), v=tin["node_vel"],
+        )
+        ref_cut = float(ref.cut_loss)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_eghn_state_dict(
+        sd, layer_per_block=2, layer_pooling=2, layer_decoder=2)
+    model = EGHN(hidden=32, n_cluster=4, layer_per_block=2, layer_pooling=2,
+                 layer_decoder=2)
+    import jax.numpy as jnp
+    x_out, h_out, cut = model.apply(
+        {"params": params}, batch, jnp.asarray(local_dst),
+        jnp.asarray(local_src), jnp.asarray(lea),
+        jnp.ones(local_dst.size, bool))
+    np.testing.assert_allclose(np.asarray(x_out), ref_x.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h_out), ref_h.numpy(), atol=1e-4)
+    np.testing.assert_allclose(float(cut), ref_cut, atol=1e-4)
