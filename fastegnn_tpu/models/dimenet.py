@@ -359,7 +359,11 @@ class InteractionPPBlock(fnn.Module):
         for i in range(self.num_before_skip):
             h = ResidualLayer(self.hidden, name=f"res_before_{i}")(h)
         h = fnn.swish(_glin(self.hidden, "lin")(h)) + x
-        for i in range(self.num_after_skip):
+        # reference quirk, reproduced: the ++ block builds its after-skip
+        # stack with ``range(num_before_skip)`` — num_after_skip is ignored
+        # (``models/DimeNet.py`` InteractionPPBlock ModuleList construction;
+        # verified by live-torch parity, tests/test_torch_parity.py)
+        for i in range(self.num_before_skip):
             h = ResidualLayer(self.hidden, name=f"res_after_{i}")(h)
         return h
 

@@ -89,7 +89,8 @@ class TupleLayerNorm(fnn.Module):
     @fnn.compact
     def __call__(self, x: TupleSV) -> TupleSV:
         s, v = x
-        s = fnn.LayerNorm(name="scalar_norm")(s)
+        # torch nn.LayerNorm default eps (1e-5; flax defaults to 1e-6)
+        s = fnn.LayerNorm(epsilon=1e-5, name="scalar_norm")(s)
         if v.shape[-2] == 0:
             return s, v
         vn = _norm_no_nan(v, axis=-1, keepdims=True, sqrt=False)

@@ -230,6 +230,167 @@ def params_from_fastschnet_state_dict(
     return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
 
 
+def _interaction(sd, prefix):
+    """Reference SchNet ``InteractionBlock`` (``models/SchNet.py:198-249``):
+    CFConv filter net ``conv.nn.{0,2}``, ``conv.lin1`` (no bias),
+    ``conv.lin2``, output ``lin``."""
+    return {
+        "conv": {
+            "nn0": _linear(sd, f"{prefix}.conv.nn.0"),
+            "nn1": _linear(sd, f"{prefix}.conv.nn.2"),
+            "lin1": _linear(sd, f"{prefix}.conv.lin1", bias=False),
+            "lin2": _linear(sd, f"{prefix}.conv.lin2"),
+        },
+        "lin": _linear(sd, f"{prefix}.lin"),
+    }
+
+
+def params_from_schnet_state_dict(
+    state_dict: Dict[str, "np.ndarray"], num_interactions: int = 16
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.SchNet` from the
+    reference ``models/SchNet.py`` state dict (``SchNet.py:119,127-141``);
+    the unused ``lin1``/``lin2`` output head is dropped."""
+    sd = state_dict
+    params: dict = {"embedding": _linear(sd, "embedding")}
+    for i in range(num_interactions):
+        params[f"interaction_{i}"] = _interaction(sd, f"interactions.{i}")
+        params[f"coord_update_{i}"] = _linear(sd, f"coord_updates.{i}")
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def params_from_dimenet_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    num_blocks: int = 4,
+    plusplus: bool = False,
+    num_output_layers: int = 3,
+    num_before_skip: int = 1,
+    num_after_skip: int = 2,
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.DimeNet` (/++) from the
+    reference ``models/DimeNet.py`` state dict (``DimeNet.py:443-718``)."""
+    sd = state_dict
+
+    def res(prefix):
+        return {"lin1": _linear(sd, f"{prefix}.lin1"),
+                "lin2": _linear(sd, f"{prefix}.lin2")}
+
+    def output_block(prefix):
+        out = {"lin_rbf": _linear(sd, f"{prefix}.lin_rbf", bias=False),
+               "lin_out": _linear(sd, f"{prefix}.lin", bias=False)}
+        if plusplus:
+            out["lin_up"] = _linear(sd, f"{prefix}.lin_up", bias=False)
+        for i in range(num_output_layers):
+            out[f"lin_{i}"] = _linear(sd, f"{prefix}.lins.{i}")
+        return out
+
+    def interaction_block(prefix):
+        out = {
+            "lin_ji": _linear(sd, f"{prefix}.lin_ji"),
+            "lin_kj": _linear(sd, f"{prefix}.lin_kj"),
+            "lin": _linear(sd, f"{prefix}.lin"),
+        }
+        if plusplus:
+            out.update(
+                lin_rbf1=_linear(sd, f"{prefix}.lin_rbf1", bias=False),
+                lin_rbf2=_linear(sd, f"{prefix}.lin_rbf2", bias=False),
+                lin_sbf1=_linear(sd, f"{prefix}.lin_sbf1", bias=False),
+                lin_sbf2=_linear(sd, f"{prefix}.lin_sbf2", bias=False),
+                lin_down=_linear(sd, f"{prefix}.lin_down", bias=False),
+                lin_up=_linear(sd, f"{prefix}.lin_up", bias=False),
+            )
+        else:
+            out.update(
+                lin_rbf=_linear(sd, f"{prefix}.lin_rbf", bias=False),
+                lin_sbf=_linear(sd, f"{prefix}.lin_sbf", bias=False),
+                W=_np(sd[f"{prefix}.W"]),
+            )
+        for i in range(num_before_skip):
+            out[f"res_before_{i}"] = res(f"{prefix}.layers_before_skip.{i}")
+        # ++ reference bug: after-skip stack sized by num_BEFORE_skip
+        n_after = num_before_skip if plusplus else num_after_skip
+        for i in range(n_after):
+            out[f"res_after_{i}"] = res(f"{prefix}.layers_after_skip.{i}")
+        return out
+
+    params: dict = {
+        "bessel_freq": _np(sd["rbf.freq"]),
+        "emb": _linear(sd, "emb.emb"),
+        "emb_lin_rbf": _linear(sd, "emb.lin_rbf"),
+        "emb_lin": _linear(sd, "emb.lin"),
+        "output_0": output_block("output_blocks.0"),
+    }
+    for b in range(num_blocks):
+        params[f"interaction_{b}"] = interaction_block(
+            f"interaction_blocks.{b}")
+        params[f"output_{b + 1}"] = output_block(f"output_blocks.{b + 1}")
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
+def _gvp_cell(sd, prefix):
+    """Reference ``GVP`` cell (``models/GVP.py:89-153``): wh (no bias), ws,
+    optional wv (no bias) / wsv (vector gate)."""
+    out = {"ws": _linear(sd, f"{prefix}.ws")}
+    if f"{prefix}.wh.weight" in sd:
+        out["wh"] = _linear(sd, f"{prefix}.wh", bias=False)
+    if f"{prefix}.wv.weight" in sd:
+        out["wv"] = _linear(sd, f"{prefix}.wv", bias=False)
+    if f"{prefix}.wsv.weight" in sd:
+        out["wsv"] = _linear(sd, f"{prefix}.wsv")
+    return out
+
+
+def _tuple_ln(sd, prefix):
+    """Reference tuple ``LayerNorm`` (``GVP.py:199-220``): parameters only on
+    the scalar channel."""
+    return {
+        "scalar_norm": {
+            "scale": _np(sd[f"{prefix}.scalar_norm.weight"]),
+            "bias": _np(sd[f"{prefix}.scalar_norm.bias"]),
+        }
+    }
+
+
+def params_from_gvpnet_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    n_layers: int = 4,
+    n_message: int = 3,
+    n_feedforward: int = 2,
+) -> dict:
+    """Flax params for :class:`~fastegnn_tpu.models.GVPNet` from the
+    reference ``models/GVP.py`` GVPNet state dict (``GVP.py:388-456``);
+    the dead ``dense`` head (never called in ``forward``) is dropped."""
+    sd = state_dict
+    params: dict = {
+        "wv_norm": _tuple_ln(sd, "W_v.0"),
+        "wv_gvp": _gvp_cell(sd, "W_v.1"),
+        "we_norm": _tuple_ln(sd, "W_e.0"),
+        "we_gvp": _gvp_cell(sd, "W_e.1"),
+        "out_norm": _tuple_ln(sd, "W_out.0"),
+        "out_gvp": _gvp_cell(sd, "W_out.1"),
+    }
+    for i in range(n_layers):
+        p = f"layers.{i}"
+        layer = {
+            "conv": {
+                f"message{j}": _gvp_cell(sd, f"{p}.conv.message_func.{j}")
+                for j in range(n_message)
+            },
+            "norm0": _tuple_ln(sd, f"{p}.norm.0"),
+            "norm1": _tuple_ln(sd, f"{p}.norm.1"),
+        }
+        for j in range(n_feedforward):
+            layer[f"ff{j}"] = _gvp_cell(sd, f"{p}.ff_func.{j}")
+        params[f"layer_{i}"] = layer
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+
 def _base_mlp(sd, prefix):
     """Reference ``BaseMLP`` (``basic.py:178-196``, keys ``mlp.0``/``mlp.2``)."""
     return {"lin0": _linear(sd, f"{prefix}.mlp.0"), "lin1": _linear(sd, f"{prefix}.mlp.2")}

@@ -164,6 +164,116 @@ def _build_shims():
         def message(self, x_j):  # default PyG message
             return x_j
 
+    # ---- SparseTensor (exactly the triplet-enumeration surface DimeNet
+    # uses: constructor, row-select, set_value(None), sum(dim=1), storage
+    # accessors — ``models/DimeNet.py:418-441``) ----
+    class _Storage:
+        def __init__(self, row, col, value):
+            self._row, self._col, self._value = row, col, value
+
+        def row(self):
+            return self._row
+
+        def col(self):
+            return self._col
+
+        def value(self):
+            return self._value
+
+    class SparseTensor:
+        def __init__(self, row=None, col=None, value=None, sparse_sizes=None):
+            n_rows = int(sparse_sizes[0])
+            perm = torch.argsort(row * int(sparse_sizes[1]) + col)
+            self._row = row[perm]
+            self._col = col[perm]
+            self._value = None if value is None else value[perm]
+            self._sizes = sparse_sizes
+            counts = torch.bincount(self._row, minlength=n_rows)
+            self._rowptr = torch.zeros(n_rows + 1, dtype=torch.long)
+            self._rowptr[1:] = torch.cumsum(counts, 0)
+
+        @classmethod
+        def _from_storage(cls, row, col, value, sizes):
+            out = cls.__new__(cls)
+            out._row, out._col, out._value, out._sizes = row, col, value, sizes
+            return out
+
+        @property
+        def storage(self):
+            return _Storage(self._row, self._col, self._value)
+
+        def __getitem__(self, idx):
+            """Row-select: result rows are 0..len(idx)-1 in ``idx`` order."""
+            counts = self._rowptr[idx + 1] - self._rowptr[idx]
+            total = int(counts.sum())
+            off = torch.arange(total) - torch.repeat_interleave(
+                torch.cat([torch.zeros(1, dtype=torch.long),
+                           torch.cumsum(counts, 0)[:-1]]), counts)
+            pos = torch.repeat_interleave(self._rowptr[idx], counts) + off
+            out_row = torch.repeat_interleave(
+                torch.arange(idx.numel()), counts)
+            val = None if self._value is None else self._value[pos]
+            out = SparseTensor._from_storage(
+                out_row, self._col[pos], val,
+                (idx.numel(), self._sizes[1]))
+            out._counts = counts
+            return out
+
+        def set_value(self, value, layout=None):
+            out = SparseTensor._from_storage(
+                self._row, self._col, value, self._sizes)
+            if hasattr(self, "_counts"):
+                out._counts = self._counts
+            return out
+
+        def sum(self, dim):
+            assert dim == 1
+            if hasattr(self, "_counts") and self._value is None:
+                return self._counts
+            v = (torch.ones_like(self._row, dtype=torch.float32)
+                 if self._value is None else self._value)
+            return scatter_add(v, self._row, dim=0,
+                               dim_size=int(self._sizes[0]))
+
+    torch_sparse.SparseTensor = SparseTensor
+
+    # ---- torch_geometric.nn.inits / utils / resolvers ----
+    def glorot_orthogonal(tensor, scale):
+        """PyG init: orthogonal, rescaled to variance scale/(fan_in+fan_out)."""
+        torch.nn.init.orthogonal_(tensor.data)
+        tensor.data *= (scale / ((tensor.size(-2) + tensor.size(-1))
+                                 * tensor.var())).sqrt()
+
+    def activation_resolver(name="relu", *args, **kwargs):
+        if callable(name) and not isinstance(name, str):
+            return name
+        return {"relu": torch.nn.ReLU(), "swish": torch.nn.SiLU(),
+                "silu": torch.nn.SiLU()}[name]
+
+    def pyg_scatter(src, index, dim=0, dim_size=None, reduce="sum"):
+        if reduce in ("sum", "add"):
+            return scatter_add(src, index, dim=dim, dim_size=dim_size)
+        if reduce == "mean":
+            return scatter_mean(src, index, dim=dim, dim_size=dim_size)
+        raise NotImplementedError(reduce)
+
+    # dimenet_utils: back the sympy basis generators with OUR re-derived
+    # forms (fastegnn_tpu/models/dimenet.py — Rayleigh j_l + brentq zeros,
+    # validated against scipy in tests/test_dimenet.py); the reference
+    # lambdifies expressions in symbols 'x' / 'theta', which sympy interns
+    # by name, so these are drop-in.
+    def bessel_basis(num_spherical, num_radial):
+        from fastegnn_tpu.models.dimenet import _bessel_forms
+
+        return _bessel_forms(num_spherical, num_radial)[0]
+
+    def real_sph_harm(num_spherical, zero_m_only=True,
+                      spherical_coordinates=True):
+        assert zero_m_only, "shim supports the m=0 zonal harmonics only"
+        from fastegnn_tpu.models.dimenet import _sph_harm_m0_forms
+
+        return [[f] for f in _sph_harm_m0_forms(num_spherical)[0]]
+
     nn_mod = types.ModuleType("torch_geometric.nn")
     nn_mod.global_mean_pool = global_mean_pool
     nn_mod.global_add_pool = global_add_pool
@@ -174,14 +284,32 @@ def _build_shims():
 
     resolver_mod = types.ModuleType("torch_geometric.nn.resolver")
     resolver_mod.aggregation_resolver = aggregation_resolver
+    resolver_mod.activation_resolver = activation_resolver
     nn_mod.resolver = resolver_mod
+
+    inits_mod = types.ModuleType("torch_geometric.nn.inits")
+    inits_mod.glorot_orthogonal = glorot_orthogonal
+    nn_mod.inits = inits_mod
+
+    models_mod = types.ModuleType("torch_geometric.nn.models")
+    dimenet_utils_mod = types.ModuleType(
+        "torch_geometric.nn.models.dimenet_utils")
+    dimenet_utils_mod.bessel_basis = bessel_basis
+    dimenet_utils_mod.real_sph_harm = real_sph_harm
+    models_mod.dimenet_utils = dimenet_utils_mod
+    nn_mod.models = models_mod
+
+    utils_mod = types.ModuleType("torch_geometric.utils")
+    utils_mod.scatter = pyg_scatter
 
     typing_mod = types.ModuleType("torch_geometric.typing")
     typing_mod.OptTensor = object  # typing alias only
+    typing_mod.SparseTensor = SparseTensor
 
     pyg = types.ModuleType("torch_geometric")
     pyg.nn = nn_mod
     pyg.typing = typing_mod
+    pyg.utils = utils_mod
 
     return {
         "torch_scatter": torch_scatter,
@@ -189,6 +317,10 @@ def _build_shims():
         "torch_geometric": pyg,
         "torch_geometric.nn": nn_mod,
         "torch_geometric.nn.resolver": resolver_mod,
+        "torch_geometric.nn.inits": inits_mod,
+        "torch_geometric.nn.models": models_mod,
+        "torch_geometric.nn.models.dimenet_utils": dimenet_utils_mod,
+        "torch_geometric.utils": utils_mod,
         "torch_geometric.typing": typing_mod,
     }
 
