@@ -553,3 +553,65 @@ def test_dimenet_parity(plusplus):
     out = model.apply({"params": params}, batch, trip)
     np.testing.assert_allclose(
         np.asarray(out), ref_out.numpy(), atol=2e-4, rtol=1e-4)
+
+
+def test_fastegnn_grad_parity(ref_fastegnn):
+    """GRADIENT parity vs live torch autograd: d(MSE)/d(params).
+
+    The state-dict -> flax mapping is linear (transposes + one column
+    permutation), so applying it to torch's ``p.grad`` dict yields grads in
+    our layout; every backward path (segment ops, masked means, virtual
+    block re-associations) must match torch autograd at 1e-4."""
+    rng = np.random.default_rng(21)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    target = torch.tensor(np.asarray(batch.coord_target))
+
+    model_t = ref_fastegnn
+    model_t.zero_grad()
+    loc, _ = model_t(
+        node_feat=tin["node_feat"], node_loc=tin["node_loc"],
+        node_vel=tin["node_vel"], edge_index=tin["edge_index"],
+        data_batch=tin["data_batch"],
+        loc_mean=torch.tensor(np.asarray(batch.loc_mean)),
+        edge_attr=tin["edge_attr"],
+    )
+    torch.nn.functional.mse_loss(loc, target).backward()
+    # the last layer's h / virtual updates don't reach the coordinate
+    # output: torch reports grad None there, ours reports exact zeros
+    gsd = {
+        k: (p.grad if p.grad is not None else torch.zeros_like(p))
+        for k, p in model_t.named_parameters()
+    }
+    ref_grads = params_from_reference_state_dict(
+        gsd, n_layers=L, hidden=H, virtual_channels=C)
+
+    sd = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
+    params = params_from_reference_state_dict(
+        sd, n_layers=L, hidden=H, virtual_channels=C)
+    model = FastEGNN(hidden=H, virtual_channels=C, n_layers=L)
+
+    from fastegnn_tpu.train.loss import masked_mse
+
+    def loss(p):
+        pred, _ = model.apply({"params": p}, batch)
+        return masked_mse(pred, batch.coord_target, batch.node_mask)
+
+    ours = jax.grad(loss)(params)
+
+    flat_ref = jax.tree.flatten_with_path(ref_grads)[0]
+    flat_ours = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree.flatten_with_path(ours)[0]
+    }
+    ref_keys = {jax.tree_util.keystr(k) for k, _ in flat_ref}
+    assert ref_keys == set(flat_ours)
+    for path, g_ref in flat_ref:
+        g_ours = np.asarray(flat_ours[jax.tree_util.keystr(path)])
+        scale = max(float(np.abs(g_ref).max()), 1e-8)
+        np.testing.assert_allclose(
+            g_ours, g_ref, atol=1e-4 * scale + 1e-9,
+            err_msg=f"grad diverges at {jax.tree_util.keystr(path)}",
+        )
+
+    model_t.zero_grad()
