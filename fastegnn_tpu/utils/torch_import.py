@@ -51,6 +51,7 @@ def params_from_reference_state_dict(
     hidden: int = 64,
     virtual_channels: int = 3,
     has_gravity: bool = False,
+    attention: bool = False,
 ) -> dict:
     """Build a flax params dict for :class:`~fastegnn_tpu.models.FastEGNN`."""
     sd = state_dict
@@ -115,6 +116,11 @@ def params_from_reference_state_dict(
                 "lin0": _linear(sd, f"{g}.gravity_mlp.0"),
                 "lin1": _linear(sd, f"{g}.gravity_mlp.2"),
             }
+        if attention:
+            # reference att nets are Sequential(Linear(H,1), Sigmoid)
+            # (models/FastEGNN.py:44-50); ours apply the sigmoid inline
+            layer["att_mlp"] = _linear(sd, f"{g}.att_mlp.0")
+            layer["att_mlp_virtual"] = _linear(sd, f"{g}.att_mlp_virtual.0")
         params[g] = layer
 
     import jax

@@ -615,3 +615,47 @@ def test_fastegnn_grad_parity(ref_fastegnn):
         )
 
     model_t.zero_grad()
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [dict(attention=True), dict(tanh=True), dict(normalize=True),
+     dict(gravity=(0.0, -1.0, 0.0))],
+    ids=["attention", "tanh", "normalize", "gravity"],
+)
+def test_fastegnn_variant_parity(variant):
+    """Live-torch parity for the non-default E_GCL_vel variants (attention /
+    tanh / normalize / gravity, models/FastEGNN.py:12-20) — these take the
+    unfused paths and the combined-head re-associations under tanh."""
+    mod = load_reference_module("models/FastEGNN.py")
+    torch.manual_seed(47)
+    grav = variant.get("gravity")
+    ref_kw = {k: v for k, v in variant.items() if k != "gravity"}
+    ref = mod.FastEGNN(
+        node_feat_nf=2, node_attr_nf=0, edge_attr_nf=2, hidden_nf=H,
+        virtual_channels=C, n_layers=2, device="cpu",
+        gravity=list(grav) if grav else None, **ref_kw,
+    )
+    ref.eval()
+    rng = np.random.default_rng(22)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9, cutoff_rate=0.0)
+    tin = _torch_inputs_from_raws(raws, spec)
+    with torch.no_grad():
+        ref_loc, ref_vloc = ref(
+            node_feat=tin["node_feat"], node_loc=tin["node_loc"],
+            node_vel=tin["node_vel"], edge_index=tin["edge_index"],
+            data_batch=tin["data_batch"],
+            loc_mean=torch.tensor(np.asarray(batch.loc_mean)),
+            edge_attr=tin["edge_attr"],
+        )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_reference_state_dict(
+        sd, n_layers=2, hidden=H, virtual_channels=C,
+        has_gravity=grav is not None, attention=variant.get("attention", False),
+    )
+    model = FastEGNN(
+        hidden=H, virtual_channels=C, n_layers=2, gravity=grav, **ref_kw
+    )
+    loc, vloc = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(loc), ref_loc.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vloc), ref_vloc.numpy(), atol=1e-4)
