@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from fastegnn_tpu.graph import GraphBatch
-from fastegnn_tpu.models.nn import MLP, CoordMLP, Linear
+from fastegnn_tpu.models.nn import (
+    MLP, CoordMLP, Linear, SplitCoordMLP, SplitMLP)
 from fastegnn_tpu.ops.segment import graph_mean_pool, segment_mean
 
 
@@ -47,10 +48,13 @@ class RFGCLVel(fnn.Module):
             norm = jax.lax.stop_gradient(jnp.sqrt(radial)) + self.epsilon
             coord_diff = coord_diff / norm
 
-        vx_n = jnp.take(vx, gid, axis=0, mode="clip")
-        vh_n = jnp.take(vh, gid, axis=0, mode="clip")
-        vdiff = vx_n - x[:, None, :]
-        vrad = jnp.linalg.norm(vdiff, axis=-1, keepdims=True)
+        N = x.shape[0]
+        B = graph.n_graphs
+        # flat channel layout + first-layer split of phi_ev, as in
+        # models/fast_egnn.py (exact re-association; scripts/vblock_lab.py)
+        vx_nf = jnp.take(vx.reshape(B, C * 3), gid, axis=0, mode="clip")
+        vdiff = (vx_nf - jnp.tile(x, (1, C))).reshape(N, C, 3)
+        vrad = jnp.sqrt(jnp.sum(vdiff * vdiff, axis=-1))  # [N, C]
 
         e_in = jnp.concatenate([h[dst], h[src], radial, graph.edge_attr], axis=-1)
         m_e = MLP([H, H], act_final=True, name="edge_mlp")(e_in)
@@ -60,27 +64,47 @@ class RFGCLVel(fnn.Module):
         coord_mean = graph_mean_pool(x, gid, graph.n_graphs, nmask)
         m_x = vx - coord_mean[:, None, :]
         gram = jnp.einsum("bci,bdi->bcd", m_x, m_x)
-        gram_n = jnp.take(gram, gid, axis=0, mode="clip")
-        ev_in = jnp.concatenate(
-            [jnp.broadcast_to(h[:, None, :], (h.shape[0], C, H)), vh_n, vrad, gram_n],
-            axis=-1,
-        )
-        m_v = MLP([H, H], act_final=True, name="edge_mlp_virtual")(ev_in)
+        ev_mlp = SplitMLP(H, H, act_final=True, name="edge_mlp_virtual")
+        W0, b0, W1, b1 = ev_mlp.weights(2 * H + 1 + C)
+        zb = vh @ W0[H : 2 * H] + gram @ W0[2 * H + 1 :] + b0  # [B, C, H]
+        zb_n = jnp.take(
+            zb.reshape(B, C * H), gid, axis=0, mode="clip"
+        ).reshape(N * C, H)
+        z1 = (
+            (h @ W0[:H])[:, None, :] + vrad[:, :, None] * W0[2 * H]
+        ).reshape(N * C, H) + zb_n
+        m_v = fnn.silu(fnn.silu(z1) @ W1 + b1)            # [N*C, H]
         if self.attention:
             m_v = m_v * fnn.sigmoid(Linear(1, name="att_mlp_virtual")(m_v))
+
+        # combined coordinate-gate heads (phi_xv, phi_X)
+        r_head = SplitCoordMLP(H, tanh=self.tanh, name="coord_mlp_r_virtual")
+        v_head = SplitCoordMLP(H, tanh=self.tanh, name="coord_mlp_v_virtual")
+        Wr0, br0, wr1 = r_head.weights()
+        Wv0, bv0, wv1 = v_head.weights()
+        G1 = jnp.concatenate([Wr0, Wv0], axis=1)
+        bG = jnp.concatenate([br0, bv0])
+        G2 = jnp.zeros((2 * H, 2), jnp.float32)
+        G2 = G2.at[:H, 0].set(wr1[:, 0]).at[H:, 1].set(wv1[:, 0])
+        gates2 = fnn.silu(m_v @ G1 + bG) @ G2             # [N*C, 2]
+        if self.tanh:
+            gates2 = jnp.tanh(gates2)
+        gate_xv = gates2[:, 0].reshape(N, C)
+        gate_X = gates2[:, 1].reshape(N, C)
 
         trans = coord_diff * CoordMLP(H, tanh=self.tanh, name="coord_mlp_r")(m_e)
         x_new = x + segment_mean(trans, dst, x.shape[0], mask=emask,
                                  indices_are_sorted=True)
-        gate_xv = CoordMLP(H, tanh=self.tanh, name="coord_mlp_r_virtual")(m_v)
-        x_new = x_new + jnp.mean(-vdiff * gate_xv, axis=1)
+        x_new = x_new + jnp.einsum("ncd,nc->nd", -vdiff, gate_xv) / C
         # RF-form velocity term: v * phi(||v||)   (FastRF.py:128)
         x_new = x_new + v * MLP([H, 1], name="coord_mlp_vel")(v_norm)
         if self.has_gravity:
             x_new = x_new + MLP([H, 1], name="gravity_mlp")(h) * gravity
 
-        gate_X = CoordMLP(H, tanh=self.tanh, name="coord_mlp_v_virtual")(m_v)
-        vx_new = vx + graph_mean_pool(vdiff * gate_X, gid, graph.n_graphs, nmask)
+        vx_new = vx + graph_mean_pool(
+            (vdiff * gate_X[:, :, None]).reshape(N, C * 3), gid,
+            graph.n_graphs, nmask,
+        ).reshape(B, C, 3)
         # NOTE: no node/virtual feature updates (FastRF.py:186)
         return h, x_new, vx_new, vh
 
