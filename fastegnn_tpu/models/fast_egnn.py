@@ -61,7 +61,6 @@ from fastegnn_tpu.models.nn import MLP, Linear, SplitCoordMLP, SplitMLP
 from fastegnn_tpu.ops.segment import (
     graph_mean_pool,
     segment_count,
-    segment_mean,
     segment_sum,
 )
 from fastegnn_tpu.ops.spmm import gather_dst, gather_src, sorted_segment_sum_csr

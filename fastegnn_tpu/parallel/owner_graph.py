@@ -44,7 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from fastegnn_tpu.graph import GraphBatch
 from fastegnn_tpu.ops.segment import graph_mean_pool, segment_sum
 from fastegnn_tpu.train.step import TrainState
-from fastegnn_tpu.train.loss import masked_mse, mmd_loss
+from fastegnn_tpu.train.loss import mmd_loss
 
 
 @struct.dataclass
