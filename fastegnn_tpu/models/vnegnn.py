@@ -25,8 +25,34 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from fastegnn_tpu.graph import GraphBatch
-from fastegnn_tpu.models.nn import MLP, CoordMLP, Linear
+from fastegnn_tpu.models.nn import (
+    MLP, CoordMLP, Linear, SplitCoordMLP, SplitMLP)
 from fastegnn_tpu.ops.segment import graph_mean_pool, segment_mean, segment_sum
+
+
+def _dense_messages(h, x, vh, vx, gid, H, C, name="edge_mlp"):
+    """Flat-layout dense real<->virtual messages shared by A2V / V2A.
+
+    First-layer split of the edge MLP over [h | vh | vrad] (the per-graph
+    summand vh W0v + b0 is computed at [B, C, H] and gathered; exact
+    re-association as in models/fast_egnn.py).  Returns
+    (m [N*C, H], vdiff [N, C, 3])."""
+    N = x.shape[0]
+    B = vh.shape[0]
+    vx_nf = jnp.take(vx.reshape(B, C * 3), gid, axis=0, mode="clip")
+    vdiff = (vx_nf - jnp.tile(x, (1, C))).reshape(N, C, 3)
+    vrad = jnp.sqrt(jnp.sum(vdiff * vdiff, axis=-1))   # [N, C]
+    mlp = SplitMLP(H, H, act_final=True, name=name)
+    W0, b0, W1, b1 = mlp.weights(2 * H + 1)
+    zb = vh @ W0[H : 2 * H] + b0                        # [B, C, H]
+    zb_n = jnp.take(
+        zb.reshape(B, C * H), gid, axis=0, mode="clip"
+    ).reshape(N * C, H)
+    z1 = (
+        (h @ W0[:H])[:, None, :] + vrad[:, :, None] * W0[2 * H]
+    ).reshape(N * C, H) + zb_n
+    m = fnn.silu(fnn.silu(z1) @ W1 + b1)                # [N*C, H]
+    return m, vdiff
 
 
 class EGCL_A2A(fnn.Module):
@@ -72,21 +98,20 @@ class EGCL_A2V(fnn.Module):
     def __call__(self, h, x, vh, vx, graph: GraphBatch):
         """vh [B,C,H], vx [B,C,3] -> updated (vh, vx)."""
         H, C = self.hidden, self.virtual_channels
+        N, B = x.shape[0], graph.n_graphs
         gid, nmask = graph.graph_id, graph.node_mask
-        vx_n = jnp.take(vx, gid, axis=0, mode="clip")      # [N, C, 3]
-        vh_n = jnp.take(vh, gid, axis=0, mode="clip")      # [N, C, H]
-        vdiff = vx_n - x[:, None, :]                       # [N, C, 3]
-        vrad = jnp.linalg.norm(vdiff, axis=-1, keepdims=True)
-        e_in = jnp.concatenate(
-            [jnp.broadcast_to(h[:, None, :], (h.shape[0], C, H)), vh_n, vrad],
-            axis=-1,
-        )
-        m = MLP([H, H], act_final=True, name="edge_mlp")(e_in)  # [N, C, H]
+        m, vdiff = _dense_messages(h, x, vh, vx, gid, H, C)  # [N*C, H]
         if self.attention:
             m = m * fnn.sigmoid(Linear(1, name="att_mlp")(m))
-        gate = CoordMLP(H, tanh=self.tanh, name="coord_mlp")(m)  # [N, C, 1]
-        vx = vx + graph_mean_pool(vdiff * gate, gid, graph.n_graphs, nmask)
-        pool = graph_mean_pool(m, gid, graph.n_graphs, nmask)    # [B, C, H]
+        gate = SplitCoordMLP(H, tanh=self.tanh, name="coord_mlp")(m)
+        vxg = (vdiff * gate.reshape(N, C, 1)).reshape(N, C * 3)
+        m_flat = m.reshape(N, C * H)
+        pooled = graph_mean_pool(
+            jnp.concatenate([vxg, m_flat], axis=-1), gid, graph.n_graphs,
+            nmask,
+        )
+        vx = vx + pooled[:, : C * 3].reshape(B, C, 3)
+        pool = pooled[:, C * 3 :].reshape(B, C, H)
         dvh = MLP([H, H], name="node_mlp")(jnp.concatenate([vh, pool], axis=-1))
         vh = vh + dvh if self.residual else dvh
         return vh, vx
@@ -102,22 +127,15 @@ class EGCL_V2A(fnn.Module):
     @fnn.compact
     def __call__(self, vh, vx, h, x, graph: GraphBatch, node_attr=None):
         H, C = self.hidden, self.virtual_channels
+        N = x.shape[0]
         gid = graph.graph_id
-        vx_n = jnp.take(vx, gid, axis=0, mode="clip")
-        vh_n = jnp.take(vh, gid, axis=0, mode="clip")
-        vdiff = vx_n - x[:, None, :]
-        vrad = jnp.linalg.norm(vdiff, axis=-1, keepdims=True)
-        e_in = jnp.concatenate(
-            [jnp.broadcast_to(h[:, None, :], (h.shape[0], C, H)), vh_n, vrad],
-            axis=-1,
-        )
-        m = MLP([H, H], act_final=True, name="edge_mlp")(e_in)  # [N, C, H]
+        m, vdiff = _dense_messages(h, x, vh, vx, gid, H, C)  # [N*C, H]
         if self.attention:
             m = m * fnn.sigmoid(Linear(1, name="att_mlp")(m))
-        gate = CoordMLP(H, tanh=self.tanh, name="coord_mlp")(m)
-        x = x + jnp.mean(-vdiff * gate, axis=1)
+        gate = SplitCoordMLP(H, tanh=self.tanh, name="coord_mlp")(m)
+        x = x + jnp.einsum("ncd,nc->nd", -vdiff, gate.reshape(N, C)) / C
         # channel-mean of messages (VNEGNN.py:297), unlike FastEGNN's flatten
-        m_mean = jnp.mean(m, axis=1)  # [N, H]
+        m_mean = jnp.mean(m.reshape(N, C, H), axis=1)  # [N, H]
         parts = [h, m_mean] + ([node_attr] if node_attr is not None else [])
         dh = MLP([H, H], name="node_mlp")(jnp.concatenate(parts, axis=-1))
         h = h + dh if self.residual else dh
