@@ -36,6 +36,9 @@ def add_common_args(p: argparse.ArgumentParser, *, sigma: float, weight: float,
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--profile_trace", type=str, default=None,
+                   help="write a jax.profiler trace of one training epoch "
+                        "(the second, post-compilation) to this directory")
 
 
 def run_training(args, dataset_train, dataset_valid, dataset_test,
@@ -105,6 +108,7 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
         ckpt_directory=args.ckpt_directory,
         resume_from=args.resume,
         apply_fn=apply_fn,
+        profile_trace_dir=getattr(args, "profile_trace", None),
     )
     print(json.dumps(best, indent=2))
     return best

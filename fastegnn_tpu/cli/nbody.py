@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--virtual_channel", type=int, required=True)
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu'); default = ambient")
+    p.add_argument("--profile_trace", type=str, default=None,
+                   help="write a jax.profiler trace of one training epoch "
+                        "(the second, post-compilation) to this directory")
     return p
 
 
@@ -130,6 +133,7 @@ def main(argv=None):
         log_name=log_name,
         ckpt_directory=args.ckpt_directory,
         resume_from=args.resume,
+        profile_trace_dir=args.profile_trace,
         apply_fn=apply_fn,
     )
     print(json.dumps(best, indent=2))

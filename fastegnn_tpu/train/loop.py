@@ -68,6 +68,7 @@ def train(
     resume_from: Optional[str] = None,
     verbose: bool = True,
     apply_fn=None,
+    profile_trace_dir: Optional[str] = None,
 ):
     """Returns ``(best_log_dict, log_dict, final_state)``.
 
@@ -111,9 +112,23 @@ def train(
                   flush=True)
 
     for epoch in range(start_epoch, max_epochs + 1):
-        state, loss_train = _run_epoch_train(
-            train_step, state, dataset_train, batch_size, key, epoch, shuffle_rng
-        )
+        if profile_trace_dir is not None and epoch == start_epoch + 1:
+            # trace the SECOND epoch (first one pays jit compilation)
+            from fastegnn_tpu.utils.profiling import profile_trace
+
+            with profile_trace(profile_trace_dir):
+                state, loss_train = _run_epoch_train(
+                    train_step, state, dataset_train, batch_size, key, epoch,
+                    shuffle_rng,
+                )
+            if verbose:
+                print(f"profiler trace written to {profile_trace_dir}",
+                      flush=True)
+        else:
+            state, loss_train = _run_epoch_train(
+                train_step, state, dataset_train, batch_size, key, epoch,
+                shuffle_rng,
+            )
         log_dict["loss_train"].append(loss_train)
         if verbose:
             print(f"train epoch: {epoch}, avg loss: {loss_train:.5f}", flush=True)
