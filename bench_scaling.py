@@ -32,8 +32,13 @@ def build_batch(n_nodes: int, seed: int = 0):
 
     rng = np.random.default_rng(seed)
     loc = rng.random((n_nodes, 3)).astype(np.float32)
-    order = np.argsort(loc[:, 0], kind="stable")  # spatial sort: small halos
-    loc = loc[order]
+    # Morton (Z-order) sort: contiguous owner ranges become compact 3D
+    # blocks, so halo fraction scales with block surface x radius instead
+    # of slab thickness (an x-sort gives slabs whose width shrinks ~1/G
+    # and saturates the halo at moderate G)
+    from fastegnn_tpu.graph import morton_order
+
+    loc = loc[morton_order(loc)]
     vel = rng.normal(size=(n_nodes, 3)).astype(np.float32) * 0.1
     r = (20.0 / n_nodes) ** (1 / 3) * 0.7  # ~constant expected degree
     dst, src = radius_graph_np(loc, r)

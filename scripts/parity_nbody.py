@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 DATA = "/root/repo/data/nbody_parity"
-NAME = "5_0_0"
+NAME = "5_0_0"  # overridable via --data/--name (e.g. the 3_2_1 composite)
 HP = dict(sigma=1.5, weight=0.01, batch_size=100, lr=5e-4, wd=1e-12,
           hidden=64, channels=3, layers=4, cutoff=0.5, sample=3,
           test_interval=5, early_stop=100)
@@ -175,7 +175,15 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--data", type=str, default=None,
+                   help="dataset directory (default: the 5_0_0 parity set)")
+    p.add_argument("--name", type=str, default=None,
+                   help="dataset name, e.g. 3_2_1 for a stick/hinge mix")
     a = p.parse_args()
+    if a.data:
+        DATA = a.data
+    if a.name:
+        NAME = a.name
     out = a.out or f"/root/repo/logs/parity_{a.side}.json"
     import os
 
