@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--n_stick", type=int, default=0)
     p.add_argument("--n_hinge", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--n_workers", type=int, default=1,
+                   help="parallel trajectory workers (ref datagen "
+                        "run.sh/generate_dataset.py:74 joblib n_jobs)")
     p.add_argument("--suffix", type=str, default="")
     p.add_argument("--box_size", type=float, default=None)
     p.add_argument(
@@ -47,6 +50,7 @@ def main(argv=None):
         length=args.length,
         sample_freq=args.sample_freq,
         seed=args.seed,
+        n_workers=args.n_workers,
         suffix_extra=(f"_{args.gaussians}g" if args.gaussians else "")
         + args.suffix,
         box_size=args.box_size,

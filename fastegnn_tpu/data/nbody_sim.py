@@ -321,6 +321,16 @@ def simulate_trajectory(
             )
 
 
+def _gen_one(n_isolated, n_stick, n_hinge, length, sample_freq, kwargs,
+             seed_seq):
+    """Worker entry: one trajectory from a spawned SeedSequence (picklable
+    top-level function for ProcessPoolExecutor)."""
+    rng = np.random.default_rng(seed_seq)
+    return simulate_trajectory(
+        n_isolated, n_stick, n_hinge, rng, length, sample_freq, **kwargs
+    )
+
+
 def generate_dataset(
     path: str,
     n_isolated: int,
@@ -333,23 +343,52 @@ def generate_dataset(
     sample_freq: int = 100,
     seed: int = 42,
     suffix_extra: str = "",
+    n_workers: int = 1,
     **kwargs,
 ) -> str:
     """Generate and save the three splits in the reference's file layout.
+
+    ``n_workers > 1`` parallelises over trajectories (the reference uses
+    ``joblib.Parallel(n_jobs=args.n_workers)``, ``generate_dataset.py:74``)
+    with per-trajectory seeds spawned from ``seed`` — the output is
+    deterministic AND independent of the worker count (though it differs
+    from the serial ``n_workers=1`` stream, which keeps the historical
+    single-rng draw order for reproducibility of existing datasets).
 
     Returns the dataset name string (e.g. ``"5_0_0"``) to pass to loaders.
     """
     os.makedirs(path, exist_ok=True)
     name = f"{n_isolated}_{n_stick}_{n_hinge}{suffix_extra}"
     rng = np.random.default_rng(seed)
-    for split, num in [("train", num_train), ("valid", num_valid), ("test", num_test)]:
-        cfgs, locs, vels, qqs, charges = [], [], [], [], []
-        for _ in range(num):
-            cfg, loc, vel, qq, q = simulate_trajectory(
-                n_isolated, n_stick, n_hinge, rng, length, sample_freq, **kwargs
+    split_sizes = [("train", num_train), ("valid", num_valid), ("test", num_test)]
+    if n_workers > 1:
+        seeds = iter(np.random.SeedSequence(seed).spawn(sum(n for _, n in split_sizes)))
+    for split, num in split_sizes:
+        if n_workers > 1:
+            import concurrent.futures as cf
+            import functools
+
+            work = functools.partial(
+                _gen_one, n_isolated, n_stick, n_hinge, length, sample_freq,
+                kwargs,
             )
-            cfgs.append(cfg); locs.append(loc); vels.append(vel)
-            qqs.append(qq); charges.append(q)
+            with cf.ProcessPoolExecutor(max_workers=n_workers) as ex:
+                results = list(ex.map(work, (next(seeds) for _ in range(num)),
+                                      chunksize=8))
+            cfgs = [r[0] for r in results]
+            locs = [r[1] for r in results]
+            vels = [r[2] for r in results]
+            qqs = [r[3] for r in results]
+            charges = [r[4] for r in results]
+        else:
+            cfgs, locs, vels, qqs, charges = [], [], [], [], []
+            for _ in range(num):
+                cfg, loc, vel, qq, q = simulate_trajectory(
+                    n_isolated, n_stick, n_hinge, rng, length, sample_freq,
+                    **kwargs
+                )
+                cfgs.append(cfg); locs.append(loc); vels.append(vel)
+                qqs.append(qq); charges.append(q)
         sfx = f"{split}_charged{name}"
         np.save(os.path.join(path, f"loc_{sfx}.npy"), np.array(locs))
         np.save(os.path.join(path, f"vel_{sfx}.npy"), np.array(vels))

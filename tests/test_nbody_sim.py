@@ -91,3 +91,17 @@ def test_gaussian_mixture_generates_and_loads(tmp_path):
     assert name == "10_0_0_10g"
     ds = NBodyDataset(str(tmp_path), name, partition="train", cutoff_rate=0.5)
     assert len(ds) == 2
+
+
+def test_parallel_datagen_worker_invariant(tmp_path):
+    """n_workers > 1 parallelises over trajectories with per-index spawned
+    seeds: output must not depend on the worker count."""
+    from fastegnn_tpu.data.nbody_sim import generate_dataset
+
+    kw = dict(num_train=4, num_valid=2, num_test=2, seed=11)
+    generate_dataset(str(tmp_path / "a"), 3, 1, 0, n_workers=2, **kw)
+    generate_dataset(str(tmp_path / "b"), 3, 1, 0, n_workers=3, **kw)
+    for f in ("loc_train_charged3_1_0.npy", "vel_test_charged3_1_0.npy"):
+        a = np.load(tmp_path / "a" / f)
+        b = np.load(tmp_path / "b" / f)
+        assert np.array_equal(a, b)
