@@ -76,3 +76,11 @@ def test_cli_protein(tmp_path):
         "--log_directory", str(tmp_path / "logs"),
     ])
     assert np.isfinite(best["loss_valid"])
+
+
+def test_cli_equivariance():
+    from fastegnn_tpu.cli.equivariance import main
+
+    rc = main(["--model", "FastEGNN", "--nodes", "8", "--num_layer", "2",
+               "--trials", "1"])
+    assert rc in (0, None)
