@@ -32,18 +32,30 @@ import sys
 # nonzero — never print a fabricated metric line.
 if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
         "_FASTEGNN_BENCH_NOPROBE"):
-    try:
-        _probe_ok = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.default_backend()"],
-            timeout=120, capture_output=True, check=False,
-        ).returncode == 0
-    except subprocess.TimeoutExpired:
-        _probe_ok = False
+    import time as _time
+
+    # A held pool grant can clear after minutes; retry the probe a few
+    # times (~8 min total) before giving up so a transient wedge at the
+    # exact moment bench.py starts doesn't cost the round's measurement.
+    _probe_ok = False
+    for _attempt in range(4):
+        try:
+            _probe_ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.default_backend()"],
+                timeout=90, capture_output=True, check=False,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            _probe_ok = False
+        if _probe_ok:
+            break
+        sys.stderr.write(
+            f"bench.py: TPU backend probe {_attempt + 1}/4 did not complete "
+            "within 90 s; retrying...\n")
+        _time.sleep(30)
     if not _probe_ok:
         sys.stderr.write(
-            "bench.py: TPU backend init did not complete within 120 s — "
-            "axon tunnel wedged/unavailable; refusing to hang or emit a "
-            "fake metric.\n")
+            "bench.py: TPU backend init never completed — axon tunnel "
+            "wedged/unavailable; refusing to hang or emit a fake metric.\n")
         sys.exit(1)
 
 import json
