@@ -228,7 +228,12 @@ def pack_weights_v3(W1, b1, W2, b2, Wg1, bg1, wg2, H: int, Fe: int, cd):
 
 
 def _silu_f32(z):
-    s = jax.nn.sigmoid(z)
+    # The sigmoid itself always runs in f32: Mosaic's logistic lowering
+    # broadcasts an f32 scalar into the result vector, which fails to
+    # verify when z is bf16 (vector.broadcast f32 -> bf16).  Storage of
+    # the returned s/activation stays in z.dtype, so the bf16 chain keeps
+    # its VPU-traffic savings; for f32 inputs this is a bit-exact no-op.
+    s = jax.nn.sigmoid(z.astype(jnp.float32)).astype(z.dtype)
     return z * s, s
 
 

@@ -300,7 +300,8 @@ def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg, W, D, cd):
     PdT = (iota_d == dl).astype(cd)
     PsT = (iota_s == gl).astype(cd)
     eaT = jax.lax.bitcast_convert_type(blk[2:8, :], jnp.float32).astype(cd)
-    td = tab_ref[pl.ds(sdb_ref[c] * ROWS + dw0_ref[cg], D), 0:128]
+    td = tab_ref[
+        pl.ds(pl.multiple_of(sdb_ref[c] * ROWS + dw0_ref[cg], 8), D), 0:128]
     tw = tab_ref[pl.ds(w0_ref[cg] * ROWS, W * ROWS), 128:256]
     bigT = jax.lax.dot_general(
         td, PdT, (((0,), (0,)), ((), ())),
