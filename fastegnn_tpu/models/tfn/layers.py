@@ -82,10 +82,12 @@ class RadialFunc(fnn.Module):
     @fnn.compact
     def __call__(self, feat):
         he = fnn.initializers.he_uniform()
+        # LayerNorm eps = torch default 1e-5 (the reference's BN wraps
+        # nn.LayerNorm, modules.py:370-379) — pinned by tests/test_tfn_oracle
         y = Linear(self.mid, kernel_init=he, name="lin0")(feat)
-        y = self.act(fnn.LayerNorm(name="bn0")(y))
+        y = self.act(fnn.LayerNorm(epsilon=1e-5, name="bn0")(y))
         y = Linear(self.mid, kernel_init=he, name="lin1")(y)
-        y = self.act(fnn.LayerNorm(name="bn1")(y))
+        y = self.act(fnn.LayerNorm(epsilon=1e-5, name="bn1")(y))
         y = Linear(self.num_freq * self.m_in * self.m_out, kernel_init=he,
                    name="lin2")(y)
         return y.reshape(-1, self.m_out, self.m_in, self.num_freq)
@@ -211,10 +213,12 @@ class GNormSE3(fnn.Module):
             phase = v / norm
             t = norm[..., 0]  # [N, m]
             if self.num_layers == 0:
-                t = self.act(fnn.LayerNorm(name=f"bn_{d}")(t))
+                t = self.act(fnn.LayerNorm(epsilon=1e-5, name=f"bn_{d}")(t))
             else:
                 for i in range(self.num_layers):
-                    t = self.act(fnn.LayerNorm(name=f"bn_{d}_{i}")(t))
+                    t = self.act(
+                        fnn.LayerNorm(epsilon=1e-5, name=f"bn_{d}_{i}")(t)
+                    )
                     t = Linear(
                         m, use_bias=(i == self.num_layers - 1),
                         kernel_init=fnn.initializers.he_uniform(),

@@ -132,6 +132,10 @@ def make_v5_meta(
     if packed is not None:
         idsx_n, w0_n, dw0_n, sdb_n = packed
         n_chunks_ = w0_n.shape[0]
+        # the kernel promises Mosaic 8-alignment of sdb*ROWS + dw0 slices
+        # (pl.multiple_of below); a packer regression must fail loudly here
+        # rather than silently corrupt dst-window slices on hardware
+        assert (np.asarray(dw0_n) % 8 == 0).all(), "v5 packer: dw0 not 8-aligned"
         return EdgeKernelV5Meta(
             idsx=jnp.asarray(idsx_n), w0=jnp.asarray(w0_n),
             dw0=jnp.asarray(dw0_n), sdb=jnp.asarray(sdb_n),
@@ -236,6 +240,7 @@ def make_v5_meta(
                          + (src_r[epos] % ROWS)).astype(np.int32)
         idsx[2:2 + fe, slot] = ea_bits[eidx[epos]].T
 
+    assert (dw0_arr % 8 == 0).all(), "v5 packer: dw0 not 8-aligned"
     return EdgeKernelV5Meta(
         idsx=jnp.asarray(idsx), w0=jnp.asarray(w0_arr),
         dw0=jnp.asarray(dw0_arr), sdb=jnp.asarray(sdb),
