@@ -57,12 +57,15 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from fastegnn_tpu.graph import GraphBatch
-from fastegnn_tpu.models.nn import MLP, Linear, SplitCoordMLP, SplitMLP
-from fastegnn_tpu.ops.segment import (
-    graph_mean_pool,
-    segment_count,
-    segment_sum,
+from fastegnn_tpu.models.fastegnn_core import (
+    LayerCfg,
+    LayerWeights,
+    edge_messages,
+    make_take_pool,
+    virtual_and_node_update,
 )
+from fastegnn_tpu.models.nn import Linear, SplitCoordMLP, SplitMLP
+from fastegnn_tpu.ops.segment import segment_count, segment_sum
 from fastegnn_tpu.ops.spmm import gather_dst, gather_src, sorted_segment_sum_csr
 
 
@@ -129,16 +132,9 @@ class EGCLVel(fnn.Module):
                         kernel_init=xavier_uniform_gain(0.001),
                         name="coord_mlp_r_head")
 
-        def edge_mlp(z):
-            return fnn.silu(e_lin1(fnn.silu(e_lin0(z))))
-
-        def coord_mlp_r(z):
-            g = r_head(fnn.silu(r_lin0(z)))
-            return jnp.tanh(g) if self.tanh else g
-
         # virtual-block MLPs are Split* modules: identical param trees to
-        # MLP/CoordMLP, but the fast path below re-associates their dots
-        # from the raw weights (scripts/vblock_lab.py "flat3")
+        # MLP/CoordMLP, but the core math re-associates their dots from the
+        # raw weights (scripts/vblock_lab.py "flat3")
         edge_mlp_virtual = SplitMLP(H, H, act_final=True, name="edge_mlp_virtual")
         coord_mlp_r_virtual = SplitCoordMLP(
             H, tanh=self.tanh, name="coord_mlp_r_virtual"
@@ -148,10 +144,60 @@ class EGCLVel(fnn.Module):
         )
         coord_mlp_vel = SplitMLP(H, 1, name="coord_mlp_vel")
         node_mlp = SplitMLP(H, H, name="node_mlp")
-        node_mlp_virtual = MLP([H, H], name="node_mlp_virtual")
+        node_mlp_virtual = SplitMLP(H, H, name="node_mlp_virtual")
         att_mlp = Linear(1, name="att_mlp") if self.attention else None
         att_mlp_virtual = Linear(1, name="att_mlp_virtual") if self.attention else None
         gravity_mlp = SplitMLP(H, 1, name="gravity_mlp") if self.has_gravity else None
+
+        # ---- raw-weight extraction (identity trick, differentiable) ----
+        # One [k, k] dot per Linear per layer; feeds BOTH the fused Pallas
+        # kernel and the single-copy layer math in models/fastegnn_core.py.
+        ein_dim = 2 * H + 1 + graph.edge_attr.shape[1]
+        eyeE = jnp.eye(ein_dim, dtype=jnp.float32)
+        eyeH = jnp.eye(H, dtype=jnp.float32)
+        b1 = e_lin0(jnp.zeros((1, ein_dim)))[0]
+        W1 = e_lin0(eyeE) - b1
+        b2 = e_lin1(jnp.zeros((1, H)))[0]
+        W2 = e_lin1(eyeH) - b2
+        bg1 = r_lin0(jnp.zeros((1, H)))[0]
+        Wg1 = r_lin0(eyeH) - bg1
+        wg2 = r_head(eyeH)  # no bias
+        ev_W0, ev_b0, ev_W1, ev_b1 = edge_mlp_virtual.weights(2 * H + 1 + C)
+        rv_W0, rv_b0, rv_w1 = coord_mlp_r_virtual.weights()
+        vv_W0, vv_b0, vv_w1 = coord_mlp_v_virtual.weights()
+        vel_W0, vel_b0, vel_W1, vel_b1 = coord_mlp_vel.weights(H)
+        na_dim = 0 if node_attr is None else node_attr.shape[1]
+        node_K0, node_k0, node_K1, node_k1 = node_mlp.weights(
+            2 * H + C * H + na_dim
+        )
+        nodev_W0, nodev_b0, nodev_W1, nodev_b1 = node_mlp_virtual.weights(2 * H)
+        wkw = {}
+        if self.has_gravity:
+            gW0, gb0, gW1, gb1 = gravity_mlp.weights(H)
+            wkw.update(grav_W0=gW0, grav_b0=gb0, grav_W1=gW1, grav_b1=gb1)
+        if self.attention:
+            ab = att_mlp(jnp.zeros((1, H)))[0]
+            wkw.update(att_w=att_mlp(eyeH) - ab, att_b=ab)
+            avb = att_mlp_virtual(jnp.zeros((1, H)))[0]
+            wkw.update(att_v_w=att_mlp_virtual(eyeH) - avb, att_v_b=avb)
+        w = LayerWeights(
+            W1=W1, b1=b1, W2=W2, b2=b2, Wg1=Wg1, bg1=bg1, wg2=wg2,
+            ev_W0=ev_W0, ev_b0=ev_b0, ev_W1=ev_W1, ev_b1=ev_b1,
+            rv_W0=rv_W0, rv_b0=rv_b0, rv_w1=rv_w1,
+            vv_W0=vv_W0, vv_b0=vv_b0, vv_w1=vv_w1,
+            vel_W0=vel_W0, vel_b0=vel_b0, vel_W1=vel_W1, vel_b1=vel_b1,
+            node_K0=node_K0, node_k0=node_k0, node_K1=node_K1,
+            node_k1=node_k1,
+            nodev_W0=nodev_W0, nodev_b0=nodev_b0, nodev_W1=nodev_W1,
+            nodev_b1=nodev_b1, **wkw,
+        )
+        cfg = LayerCfg(
+            hidden=H, virtual_channels=C, residual=self.residual,
+            attention=self.attention, normalize=self.normalize,
+            tanh=self.tanh, coords_agg=self.coords_agg,
+            has_gravity=self.has_gravity, epsilon=self.epsilon,
+            compute_dtype=jnp.dtype(self.compute_dtype),
+        )
 
         # ---- sparse real<->real edge block (local edges) ----
         use_pallas = graph.csr_dst is not None
@@ -174,18 +220,6 @@ class EGCLVel(fnn.Module):
             and ax is None   # sharded layers keep the CSR path for now
         )
         if use_fused:
-            ein_dim = 2 * H + 1 + graph.edge_attr.shape[1]
-            eyeE = jnp.eye(ein_dim, dtype=jnp.float32)
-            eyeH = jnp.eye(H, dtype=jnp.float32)
-            # identity-trick extraction: differentiable raw weights
-            b1 = e_lin0(jnp.zeros((1, ein_dim)))[0]
-            W1 = e_lin0(eyeE) - b1
-            b2 = e_lin1(jnp.zeros((1, H)))[0]
-            W2 = e_lin1(eyeH) - b2
-            bg1 = r_lin0(jnp.zeros((1, H)))[0]
-            Wg1 = r_lin0(eyeH) - bg1
-            wg2 = r_head(eyeH)  # no bias
-
             if graph.ek5 is not None:
                 # v5: feature-major chain, streamed dst blocks (fastest)
                 from fastegnn_tpu.ops.edge_kernel_v5 import fused_edge_block_v5
@@ -226,20 +260,11 @@ class EGCLVel(fnn.Module):
                 h_src, x_src = hx_src[:, :H], hx_src[:, H:]
             else:
                 h_dst, x_dst, h_src, x_src = h[dst], x[dst], h[src], x[src]
-            coord_diff = x_dst - x_src                    # [E, 3]
-            radial = jnp.sum(coord_diff**2, axis=-1, keepdims=True)  # [E, 1]
-            if self.normalize:
-                norm = jax.lax.stop_gradient(jnp.sqrt(radial)) + self.epsilon
-                coord_diff = coord_diff / norm
-
-            e_in = jnp.concatenate(
-                [h_dst, h_src, radial, graph.edge_attr], axis=-1
-            ).astype(cd)
-            m_e = edge_mlp(e_in)                          # [E, H] (cd)
-            if self.attention:
-                m_e = m_e * fnn.sigmoid(att_mlp(m_e))
-            gate_r = coord_mlp_r(m_e).astype(jnp.float32)
-            trans = coord_diff * gate_r                   # [E, 3] f32
+            # single-copy edge math (models/fastegnn_core.py): phi_e ->
+            # attention -> phi_x gate -> translation
+            m_e, trans = edge_messages(
+                cfg, w, h_dst, h_src, x_dst, x_src, graph.edge_attr
+            )                                             # [E, H] cd, [E, 3] f32
 
             # per-edge reductions (one kernel pass over [m_e | trans]);
             # accumulation is f32 regardless of compute dtype
@@ -286,160 +311,18 @@ class EGCLVel(fnn.Module):
         agg_x_l = trans_l / cnt_l[:, None] if self.coords_agg == "mean" else trans_l
         agg_e_l = m_agg_l / cnt_l[:, None]   # node model always uses mean (:156)
 
-        # ---- dense real<->virtual block on owned rows ----
-        # Channel-in-rows layout: every per-node-per-channel tensor is a 2D
-        # [n_loc*C, k] array (TPU pads a [N, C, k] 3D tensor to sublane 8 /
-        # lane 128 per trailing pair — 5-40x HBM waste for C=3, k<=64; the
-        # flat layout measured ~2x faster, scripts/vblock_lab.py).  On the
-        # bf16 path, per-graph gathers AND the masked mean-pools are one-hot
-        # [n_loc, B] matmuls so forward and backward both ride the MXU
-        # instead of XLA gather/scatter (another ~2x, same lab).
-        use_onehot = cd == jnp.bfloat16
-        if use_onehot:
-            onehot = (
-                (gid_l[:, None] == jnp.arange(n_graphs)[None, :])
-                & nmask_l[:, None]
-            ).astype(cd)                                  # [n_loc, B]
-            cnt_g = jnp.sum(onehot.astype(jnp.float32), axis=0)
-            if ax is not None:
-                cnt_g = jax.lax.psum(cnt_g, ax)
-            inv_cnt = 1.0 / jnp.maximum(cnt_g, 1.0)       # [B]
-
-            def btake(zb):  # [B, K] -> [n_loc, K] (cd; masked rows -> 0)
-                return onehot @ zb.astype(cd)
-
-            def bpool(z):   # [n_loc, K] -> [B, K] masked mean, f32 accum
-                s = jax.lax.dot_general(
-                    onehot, z.astype(cd), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if ax is not None:
-                    s = jax.lax.psum(s, ax)
-                return s * inv_cnt[:, None]
-        else:
-            def btake(zb):  # exact f32 path (CPU tests / f32 prod)
-                return jnp.take(zb, gid_l, axis=0, mode="clip")
-
-            def bpool(z):
-                return graph_mean_pool(z, gid_l, n_graphs, nmask_l, axis=ax)
-
-        # virtual coords stay f32 (positions): plain row-take, [n_loc, 3C]
-        vx_n = jnp.take(
-            vx.reshape(n_graphs, C * 3), gid_l, axis=0, mode="clip"
+        # ---- post-aggregation math: single copy in fastegnn_core ----
+        # (dense real<->virtual flat3 block, combined gate heads, velocity/
+        # gravity gates, coordinate/feature updates; on the bf16 path the
+        # injected take/pool are one-hot MXU matmuls, psum-aware when sharded)
+        take, pool = make_take_pool(
+            gid_l, nmask_l, n_graphs,
+            use_onehot=cd == jnp.bfloat16, compute_dtype=cd, axis=ax,
         )
-        vdiff = vx_n - jnp.tile(x_l, (1, C))              # [n_loc, 3C] f32
-        vrad = jnp.sqrt(
-            jnp.sum((vdiff * vdiff).reshape(n_loc, C, 3), axis=-1)
-        )                                                 # [n_loc, C]
-
-        coord_mean = (
-            bpool(x_l) if use_onehot
-            else graph_mean_pool(x_l, gid_l, n_graphs, nmask_l, axis=ax)
-        )                                                 # [B, 3]
-        m_x = vx - coord_mean[:, None, :].astype(vx.dtype)  # [B, C, 3]
-        gram = jnp.einsum("bci,bdi->bcd", m_x, m_x)       # [B, C, C]
-
-        # First-layer split of phi_ev: its input concat [h | vh | vrad | gram]
-        # never materialises.  z1[n,c] = h[n] W0h + vrad[n,c] w0r
-        # + (vh W0v + gram W0g + b0)[g(n),c] — the per-graph summand is a
-        # tiny [B,C,H] tensor gathered per node, the h dot is shared across
-        # channels, and vrad enters as a rank-1 outer product.  Exact
-        # re-association of models/FastEGNN.py:111-119 (flat3 in
-        # scripts/vblock_lab.py: 2.33 -> 0.58 ms/layer fwd+bwd on-chip).
-        W0, b0, W1, b1 = edge_mlp_virtual.weights(2 * H + 1 + C)
-        zh = h_l.astype(cd) @ W0[:H].astype(cd)           # [n_loc, H]
-        zb = (
-            vh.astype(cd) @ W0[H : 2 * H].astype(cd)
-            + gram.astype(cd) @ W0[2 * H + 1 :].astype(cd)
-            + b0.astype(cd)
-        )                                                 # [B, C, H]
-        zb_n = btake(zb.reshape(n_graphs, C * H)).reshape(n_loc * C, H)
-        z1 = (
-            zh[:, None, :]
-            + vrad[:, :, None].astype(cd) * W0[2 * H].astype(cd)
-        ).reshape(n_loc * C, H) + zb_n
-        m_v = fnn.silu(fnn.silu(z1) @ W1.astype(cd) + b1.astype(cd))
-        if self.attention:
-            m_v = m_v * fnn.sigmoid(att_mlp_virtual(m_v))
-
-        # combined gate heads (phi_xv, phi_X): one [H,2H] dot + a block-diag
-        # [2H,2] head instead of two separate CoordMLPs over m_v
-        Wr0, br0, wr1 = coord_mlp_r_virtual.weights()
-        Wv0, bv0, wv1 = coord_mlp_v_virtual.weights()
-        G1 = jnp.concatenate([Wr0, Wv0], axis=1)          # [H, 2H]
-        bG = jnp.concatenate([br0, bv0])                  # [2H]
-        G2 = jnp.zeros((2 * H, 2), jnp.float32)
-        G2 = G2.at[:H, 0].set(wr1[:, 0]).at[H:, 1].set(wv1[:, 0])
-        gates2 = (
-            fnn.silu(m_v @ G1.astype(cd) + bG.astype(cd)) @ G2.astype(cd)
-        ).astype(jnp.float32)                             # [n_loc*C, 2]
-        if self.tanh:
-            gates2 = jnp.tanh(gates2)
-        gate_xv = gates2[:, 0].reshape(n_loc, C)
-        gate_X = gates2[:, 1].reshape(n_loc, C)
-
-        # combined velocity/gravity heads over h (phi_v, phi_g)
-        Wvel0, bvel0, Wvel1, bvel1 = coord_mlp_vel.weights(H)
-        if self.has_gravity:
-            Wg0, bg0, Wg1, bg1 = gravity_mlp.weights(H)
-            Hh1 = jnp.concatenate([Wvel0, Wg0], axis=1)   # [H, 2H]
-            bHh = jnp.concatenate([bvel0, bg0])
-            Hh2 = jnp.zeros((2 * H, 2), jnp.float32)
-            Hh2 = Hh2.at[:H, 0].set(Wvel1[:, 0]).at[H:, 1].set(Wg1[:, 0])
-            hg = (
-                fnn.silu(h_l.astype(cd) @ Hh1.astype(cd) + bHh.astype(cd))
-                @ Hh2.astype(cd)
-            ).astype(jnp.float32) + jnp.concatenate([bvel1, bg1])
-            vel_gate, grav_gate = hg[:, 0:1], hg[:, 1:2]
-        else:
-            vel_gate = (
-                fnn.silu(h_l.astype(cd) @ Wvel0.astype(cd) + bvel0.astype(cd))
-                @ Wvel1.astype(cd)
-            ).astype(jnp.float32) + bvel1
-            grav_gate = None
-
-        # ---- coordinate update, owned real rows ----
-        x_new_l = x_l + agg_x_l
-        vdiff3 = vdiff.reshape(n_loc, C, 3)
-        x_new_l = x_new_l + jnp.einsum(
-            "ncd,nc->nd", -vdiff3, gate_xv
-        ) * (1.0 / C)
-        x_new_l = x_new_l + vel_gate * v_l
-        if self.has_gravity:
-            x_new_l = x_new_l + grav_gate * gravity
-
-        # ---- virtual updates (replicated outputs; pools psum over ax) ----
-        vxg = (vdiff3 * gate_X[:, :, None]).reshape(n_loc, C * 3)
-        m_v_flat = m_v.reshape(n_loc, C * H)              # [C,H]-order (doc)
-        pooled = bpool(
-            jnp.concatenate(
-                [vxg.astype(m_v_flat.dtype) if use_onehot else vxg, m_v_flat],
-                axis=-1,
-            )
-        )                                                 # [B, 3C + CH] f32
-        vx_new = vx + pooled[:, : C * 3].reshape(n_graphs, C, 3)
-        pool_mv = pooled[:, C * 3 :].reshape(n_graphs, C, H)
-        dvh = node_mlp_virtual(
-            jnp.concatenate([vh, pool_mv], axis=-1).astype(cd)
-        ).astype(jnp.float32)
-        vh_new = vh + dvh if self.residual else dvh
-
-        # ---- node feature update, owned rows ----
-        # first-layer split of phi_h: no [n_loc, 2H+CH(+attr)] input concat
-        na_dim = 0 if na_l is None else na_l.shape[1]
-        K0, k0b, K1, k1b = node_mlp.weights(2 * H + C * H + na_dim)
-        z1h = (
-            h_l.astype(cd) @ K0[:H].astype(cd)
-            + agg_e_l.astype(cd) @ K0[H : 2 * H].astype(cd)
-            + m_v_flat.astype(cd) @ K0[2 * H : 2 * H + C * H].astype(cd)
-            + k0b.astype(cd)
+        h_new_l, x_new_l, vx_new, vh_new = virtual_and_node_update(
+            cfg, w, h_l, x_l, v_l, vx, vh, gid_l, agg_x_l, agg_e_l,
+            take=take, pool=pool, gravity=gravity, node_attr=na_l,
         )
-        if na_l is not None:
-            z1h = z1h + na_l.astype(cd) @ K0[2 * H + C * H :].astype(cd)
-        dh = (fnn.silu(z1h) @ K1.astype(cd) + k1b.astype(cd)).astype(
-            jnp.float32
-        )
-        h_new_l = h_l + dh if self.residual else dh
 
         if ax is None:
             return h_new_l, x_new_l, vx_new, vh_new
