@@ -64,7 +64,7 @@ from fastegnn_tpu.models.fastegnn_core import (
     make_take_pool,
     virtual_and_node_update,
 )
-from fastegnn_tpu.models.nn import Linear, SplitCoordMLP, SplitMLP
+from fastegnn_tpu.models.nn import Linear, RawLinear, SplitCoordMLP, SplitMLP
 from fastegnn_tpu.ops.segment import segment_count, segment_sum
 from fastegnn_tpu.ops.spmm import gather_dst, gather_src, sorted_segment_sum_csr
 
@@ -122,15 +122,15 @@ class EGCLVel(fnn.Module):
 
         # ---- submodules (named once; identical param tree for both paths) ----
         # edge-path Linears are declared individually so the fused Pallas
-        # kernel can extract raw weights (differentiably, identity trick)
-        e_lin0 = Linear(H, name="edge_mlp_lin0")
-        e_lin1 = Linear(H, name="edge_mlp_lin1")
-        r_lin0 = Linear(H, name="coord_mlp_r_lin0")
+        # kernel can read raw weights directly (RawLinear: zero-cost access)
+        e_lin0 = RawLinear(H, name="edge_mlp_lin0")
+        e_lin1 = RawLinear(H, name="edge_mlp_lin1")
+        r_lin0 = RawLinear(H, name="coord_mlp_r_lin0")
         from fastegnn_tpu.models.nn import xavier_uniform_gain
 
-        r_head = Linear(1, use_bias=False,
-                        kernel_init=xavier_uniform_gain(0.001),
-                        name="coord_mlp_r_head")
+        r_head = RawLinear(1, use_bias=False,
+                           kernel_init=xavier_uniform_gain(0.001),
+                           name="coord_mlp_r_head")
 
         # virtual-block MLPs are Split* modules: identical param trees to
         # MLP/CoordMLP, but the core math re-associates their dots from the
@@ -145,23 +145,20 @@ class EGCLVel(fnn.Module):
         coord_mlp_vel = SplitMLP(H, 1, name="coord_mlp_vel")
         node_mlp = SplitMLP(H, H, name="node_mlp")
         node_mlp_virtual = SplitMLP(H, H, name="node_mlp_virtual")
-        att_mlp = Linear(1, name="att_mlp") if self.attention else None
-        att_mlp_virtual = Linear(1, name="att_mlp_virtual") if self.attention else None
+        att_mlp = RawLinear(1, name="att_mlp") if self.attention else None
+        att_mlp_virtual = (
+            RawLinear(1, name="att_mlp_virtual") if self.attention else None
+        )
         gravity_mlp = SplitMLP(H, 1, name="gravity_mlp") if self.has_gravity else None
 
-        # ---- raw-weight extraction (identity trick, differentiable) ----
-        # One [k, k] dot per Linear per layer; feeds BOTH the fused Pallas
-        # kernel and the single-copy layer math in models/fastegnn_core.py.
+        # ---- raw weights (direct param access; zero fwd/bwd overhead) ----
+        # Feeds BOTH the fused Pallas kernel and the single-copy layer math
+        # in models/fastegnn_core.py.
         ein_dim = 2 * H + 1 + graph.edge_attr.shape[1]
-        eyeE = jnp.eye(ein_dim, dtype=jnp.float32)
-        eyeH = jnp.eye(H, dtype=jnp.float32)
-        b1 = e_lin0(jnp.zeros((1, ein_dim)))[0]
-        W1 = e_lin0(eyeE) - b1
-        b2 = e_lin1(jnp.zeros((1, H)))[0]
-        W2 = e_lin1(eyeH) - b2
-        bg1 = r_lin0(jnp.zeros((1, H)))[0]
-        Wg1 = r_lin0(eyeH) - bg1
-        wg2 = r_head(eyeH)  # no bias
+        W1, b1 = e_lin0.raw(ein_dim)
+        W2, b2 = e_lin1.raw(H)
+        Wg1, bg1 = r_lin0.raw(H)
+        wg2, _ = r_head.raw(H)  # no bias
         ev_W0, ev_b0, ev_W1, ev_b1 = edge_mlp_virtual.weights(2 * H + 1 + C)
         rv_W0, rv_b0, rv_w1 = coord_mlp_r_virtual.weights()
         vv_W0, vv_b0, vv_w1 = coord_mlp_v_virtual.weights()
@@ -176,10 +173,10 @@ class EGCLVel(fnn.Module):
             gW0, gb0, gW1, gb1 = gravity_mlp.weights(H)
             wkw.update(grav_W0=gW0, grav_b0=gb0, grav_W1=gW1, grav_b1=gb1)
         if self.attention:
-            ab = att_mlp(jnp.zeros((1, H)))[0]
-            wkw.update(att_w=att_mlp(eyeH) - ab, att_b=ab)
-            avb = att_mlp_virtual(jnp.zeros((1, H)))[0]
-            wkw.update(att_v_w=att_mlp_virtual(eyeH) - avb, att_v_b=avb)
+            aw, ab = att_mlp.raw(H)
+            wkw.update(att_w=aw, att_b=ab)
+            avw, avb = att_mlp_virtual.raw(H)
+            wkw.update(att_v_w=avw, att_v_b=avb)
         w = LayerWeights(
             W1=W1, b1=b1, W2=W2, b2=b2, Wg1=Wg1, bg1=bg1, wg2=wg2,
             ev_W0=ev_W0, ev_b0=ev_b0, ev_W1=ev_W1, ev_b1=ev_b1,

@@ -233,7 +233,19 @@ def _silu_f32(z):
     # verify when z is bf16 (vector.broadcast f32 -> bf16).  Storage of
     # the returned s/activation stays in z.dtype, so the bf16 chain keeps
     # its VPU-traffic savings; for f32 inputs this is a bit-exact no-op.
-    s = jax.nn.sigmoid(z.astype(jnp.float32)).astype(z.dtype)
+    #
+    # bf16 path: sigmoid(x) = 0.5*(1 + tanh(x/2)) — Mosaic lowers tanh to a
+    # single hardware transcendental while the logistic goes through
+    # exp + divide; measured ~20% off the whole fwd kernel at the bench
+    # geometry (scripts/r3_klab.py "tanhsig").  The two forms differ by
+    # ~1 ulp f32, far below bf16 storage rounding.  f32 inputs keep the
+    # exact logistic (bit-exact vs the XLA composition for parity tests).
+    zf = z.astype(jnp.float32)
+    if z.dtype == jnp.bfloat16:
+        s = 0.5 + 0.5 * jnp.tanh(0.5 * zf)
+    else:
+        s = jax.nn.sigmoid(zf)
+    s = s.astype(z.dtype)
     return z * s, s
 
 
