@@ -39,6 +39,29 @@ def add_common_args(p: argparse.ArgumentParser, *, sigma: float, weight: float,
     p.add_argument("--profile_trace", type=str, default=None,
                    help="write a jax.profiler trace of one training epoch "
                         "(the second, post-compilation) to this directory")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="distributed training mesh, e.g. 'data=2', "
+                        "'graph=4', or 'data=2,graph=4': data-parallel over "
+                        "graphs x graph-parallel (edge-sharded) within each "
+                        "replica; needs data*graph devices. Global batch "
+                        "semantics match single-device training and "
+                        "checkpoints are interchangeable across mesh shapes")
+
+
+def parse_mesh(spec):
+    """``'data=2,graph=4'`` -> ``(2, 4)``; missing axes default to 1."""
+    sizes = {"data": 1, "graph": 1}
+    if spec:
+        for part in spec.split(","):
+            k, _, v = part.partition("=")
+            k = k.strip()
+            if k not in sizes:
+                raise ValueError(
+                    f"unknown mesh axis {k!r} (have: data, graph)")
+            sizes[k] = int(v)
+            if sizes[k] < 1:
+                raise ValueError(f"mesh axis {k} must be >= 1")
+    return sizes["data"], sizes["graph"]
 
 
 def run_training(args, dataset_train, dataset_valid, dataset_test,
@@ -52,22 +75,46 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
         f"train/valid/test sizes: {len(dataset_train)}/"
         f"{len(dataset_valid)}/{len(dataset_test)}"
     )
-    model = get_model(
-        args.model,
+    mesh_d, mesh_g = parse_mesh(getattr(args, "mesh", None))
+    use_mesh = mesh_d * mesh_g > 1
+    model_kw = dict(
         hidden=args.dim_hidden,
         virtual_channels=args.virtual_channel,
         n_layers=args.num_layer,
+        num_blocks=args.num_layer,     # DimeNet family (main_nbody.py:124)
         attention=args.attention_required,
         normalize=args.direction_vector_normalize_required,
         tanh=args.tanh_required,
         gravity=gravity,
         compute_dtype=args.compute_dtype,
     )
+    if mesh_g > 1:
+        # graph parallelism needs layer-level collectives: FastEGNN only
+        # (models/fast_egnn.py shard_axis); other families error out clearly
+        if args.model != "FastEGNN":
+            raise ValueError(
+                f"--mesh graph={mesh_g} is only supported for FastEGNN "
+                f"(got {args.model}); use --mesh data=D for other models"
+            )
+        model_kw.update(shard_axis="graph", shard_axis_size=mesh_g)
+    model = get_model(args.model, **model_kw)
+    if args.model in ("DimeNet", "DimeNet++"):
+        # triplet tables ride along with each batch (ref dispatch
+        # utils/train.py:97-98; triplets from torch_sparse, here host-built)
+        from fastegnn_tpu.models import TripletDataset
+
+        dataset_train = TripletDataset(dataset_train)
+        dataset_valid = TripletDataset(dataset_valid)
+        dataset_test = TripletDataset(dataset_test)
     example = dataset_train.collate(
         list(range(min(args.batch_size, len(dataset_train))))
     )
     apply_fn = None
-    init_args = (example,)
+    init_args = example if isinstance(example, tuple) else (example,)
+    if args.model in ("DimeNet", "DimeNet++"):
+        apply_fn = lambda params, batch: model.apply(
+            {"params": params}, batch[0], batch[1]
+        )
     if args.model == "EGHN":
         # EGHN consumes the bond graph as pooling edges (reference
         # utils/train.py:69-79); prediction = x_out; the auxiliary cut_loss
@@ -89,14 +136,74 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
 
         init_args = (example, example.local_dst, example.local_src,
                      example.local_edge_attr, example.local_edge_mask)
+    # mesh path: the shard-axis model only runs inside shard_map (it uses
+    # lax.axis_index), so init/eval use an identically-parameterised
+    # unsharded twin; params and checkpoints are the same pytree either way
+    eval_model = model
+    if mesh_g > 1:
+        unsharded_kw = {
+            k: v for k, v in model_kw.items()
+            if k not in ("shard_axis", "shard_axis_size")
+        }
+        eval_model = get_model(args.model, **unsharded_kw)
+
     # jitted init: eager init pays a device round-trip per op (slow on
     # tunneled TPU backends)
-    params = jax.jit(model.init)(jax.random.key(args.seed), *init_args)["params"]
+    params = jax.jit(eval_model.init)(
+        jax.random.key(args.seed), *init_args)["params"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"Number of parameters: {n_params}")
 
     tx = torch_adam(args.learning_rate, args.weight_decay)
     state = TrainState.create(params, tx)
+
+    train_step_fn = batch_iter_fn = None
+    if use_mesh:
+        if apply_fn is not None:
+            raise ValueError(
+                f"--mesh is not supported for {args.model} (custom step)")
+        from fastegnn_tpu.parallel import make_mesh
+        from fastegnn_tpu.parallel.data_parallel import make_dp_train_step
+        from fastegnn_tpu.parallel.graph_parallel import make_gp_train_step
+        from fastegnn_tpu.parallel.sharded_batches import iter_sharded_batches
+
+        n_dev = len(jax.devices())
+        if mesh_d * mesh_g > n_dev:
+            raise ValueError(
+                f"--mesh data={mesh_d},graph={mesh_g} needs "
+                f"{mesh_d * mesh_g} devices, have {n_dev}")
+        if args.batch_size % mesh_d:
+            raise ValueError(
+                f"--batch_size {args.batch_size} must divide by the data "
+                f"axis {mesh_d}")
+        axes = []
+        if mesh_d > 1:
+            axes.append(("data", mesh_d))
+        if mesh_g > 1:
+            axes.append(("graph", mesh_g))
+        mesh = make_mesh(tuple(s for _, s in axes),
+                         tuple(n for n, _ in axes))
+        use_mmd = args.model in MMD_MODELS
+        step_kw = dict(sigma=args.sigma, weight=args.weight,
+                       sample=args.sample,
+                       per_graph_sampling=per_graph_sampling,
+                       use_mmd=use_mmd)
+        if mesh_g > 1:
+            train_step_fn = make_gp_train_step(
+                model, tx, mesh, graph_axis="graph",
+                data_axis="data" if mesh_d > 1 else None, **step_kw)
+        else:
+            train_step_fn = make_dp_train_step(
+                model, tx, mesh, axis="data", **step_kw)
+
+        def batch_iter_fn(dataset, batch_size, rng=None):
+            return iter_sharded_batches(
+                dataset, batch_size, mesh, data=mesh_d, graph=mesh_g,
+                rng=rng)
+
+        print(f"mesh training: data={mesh_d} x graph={mesh_g} over "
+              f"{mesh_d * mesh_g}/{n_dev} devices")
+
     log_name = f"{args.exp_name}_loss_{time.strftime('%Y-%m-%d_%H-%M-%S')}.json"
     best, log, state = train(
         model, state, tx, dataset_train, dataset_valid, dataset_test,
@@ -109,6 +216,9 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
         resume_from=args.resume,
         apply_fn=apply_fn,
         profile_trace_dir=getattr(args, "profile_trace", None),
+        train_step_fn=train_step_fn,
+        batch_iter_fn=batch_iter_fn,
+        eval_model=eval_model,
     )
     print(json.dumps(best, indent=2))
     return best

@@ -26,9 +26,15 @@ from fastegnn_tpu.train.checkpoint import save_checkpoint
 from fastegnn_tpu.train.step import TrainState, make_eval_step, make_train_step
 
 
-def _run_epoch_train(train_step, state, dataset, batch_size, key, epoch, rng):
+def _run_epoch_train(train_step, state, dataset, batch_size, key, epoch, rng,
+                     batch_iter_fn=None):
     losses = []
-    for i, batch in enumerate(dataset.iter_batches(batch_size, rng=rng)):
+    batches = (
+        batch_iter_fn(dataset, batch_size, rng=rng)
+        if batch_iter_fn is not None
+        else dataset.iter_batches(batch_size, rng=rng)
+    )
+    for i, batch in enumerate(batches):
         k = jax.random.fold_in(key, epoch * 1_000_003 + i)
         state, metrics = train_step(state, batch, k)
         losses.append(metrics["mse"])
@@ -69,20 +75,33 @@ def train(
     verbose: bool = True,
     apply_fn=None,
     profile_trace_dir: Optional[str] = None,
+    train_step_fn=None,
+    batch_iter_fn=None,
+    eval_model=None,
 ):
     """Returns ``(best_log_dict, log_dict, final_state)``.
 
     ``resume_from``: path of a checkpoint saved by this loop; restores
     params + optimizer state + step + epoch and continues (a capability the
     reference lacks — it only saves best params, ``utils/train.py:197-208``).
+
+    Mesh training (CLI ``--mesh``): pass ``train_step_fn`` (a shard_map-ed
+    step from ``parallel.data_parallel`` / ``parallel.graph_parallel`` with
+    the single-device ``step(state, batch, key)`` signature) plus
+    ``batch_iter_fn(dataset, batch_size, rng=...)`` yielding mesh-placed
+    stacked batches (``parallel.sharded_batches``).  Evaluation stays
+    single-device on the replicated params (``eval_model`` overrides the
+    eval-time model when the train model was built with a shard axis);
+    checkpoints hold the same replicated params either way, so they are
+    interchangeable across mesh shapes.
     """
-    train_step = make_train_step(
+    train_step = train_step_fn or make_train_step(
         model, tx, sigma, weight, sample, per_graph_sampling, use_mmd,
         apply_fn=apply_fn,
     )
     eval_step = make_eval_step(
-        model, sigma, weight, sample, per_graph_sampling, use_mmd,
-        apply_fn=apply_fn,
+        eval_model or model, sigma, weight, sample, per_graph_sampling,
+        use_mmd, apply_fn=apply_fn,
     )
     key = jax.random.key(seed)
     shuffle_rng = np.random.default_rng(seed)
@@ -119,7 +138,7 @@ def train(
             with profile_trace(profile_trace_dir):
                 state, loss_train = _run_epoch_train(
                     train_step, state, dataset_train, batch_size, key, epoch,
-                    shuffle_rng,
+                    shuffle_rng, batch_iter_fn,
                 )
             if verbose:
                 print(f"profiler trace written to {profile_trace_dir}",
@@ -127,7 +146,7 @@ def train(
         else:
             state, loss_train = _run_epoch_train(
                 train_step, state, dataset_train, batch_size, key, epoch,
-                shuffle_rng,
+                shuffle_rng, batch_iter_fn,
             )
         log_dict["loss_train"].append(loss_train)
         if verbose:

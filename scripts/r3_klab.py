@@ -202,8 +202,11 @@ def main():
     import fastegnn_tpu.ops.edge_kernel_v5 as m5
     real = m5._silu_f32
 
-    for variant in ("full", "perchunk", "bf16hot", "tanhsig", "noact",
-                    "nohot", "copyonly"):
+    variants = ("full", "perchunk", "bf16hot", "tanhsig", "noact",
+                "nohot", "copyonly")
+    if os.environ.get("R3_KLAB_VARIANTS"):
+        variants = os.environ["R3_KLAB_VARIANTS"].split(",")
+    for variant in variants:
         if variant == "noact":
             def fake_silu(z):
                 zf = z.astype(jnp.float32)
@@ -217,6 +220,16 @@ def main():
                 return (zf * s).astype(z.dtype), s
 
             m5._silu_f32 = tanh_silu
+        elif variant == "tanhbf16":
+            # tanh natively on the bf16 vector (half the vregs) — numerics
+            # drop to bf16 tanh accuracy on the gate path; make_fwd treats
+            # the unknown variant name as the production body
+            def tanh_silu_bf16(z):
+                half = jnp.asarray(0.5, z.dtype)
+                s = half + half * jnp.tanh(half * z)
+                return z * s, s
+
+            m5._silu_f32 = tanh_silu_bf16
         try:
             fn = make_fwd(meta, n_seg_pad, cd, variant)
             r = fn(wp, eW, vpc, tab, meta.idsx)

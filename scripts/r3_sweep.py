@@ -22,14 +22,20 @@ from fastegnn_tpu.ops.edge_kernel_v5 import fused_edge_block_v5
 from fastegnn_tpu.train import TrainState, torch_adam
 from fastegnn_tpu.train.step import make_train_step
 
+import json as _json
+
 CONFIGS = [
     (256, 2, 8, 128),   # current default
     (256, 1, 8, 128),
-    (256, 1, 16, 128),
     (256, 1, 8, 64),
+    (256, 1, 8, 32),
     (128, 1, 16, 32),
-    (256, 2, 16, 64),
+    (128, 1, 16, 64),
+    (256, 2, 8, 64),
+    (512, 2, 4, 128),
 ]
+if os.environ.get("R3_SWEEP_CONFIGS"):
+    CONFIGS = [tuple(c) for c in _json.loads(os.environ["R3_SWEEP_CONFIGS"])]
 
 
 def main():
@@ -109,6 +115,8 @@ def main():
         timed("kernel fwd+bwd x1", lambda: kg(h_d, x_d, meta, *ws_d))
 
         # full train step
+        if os.environ.get("R3_SWEEP_KERNEL_ONLY"):
+            continue
         if params is None:
             params = jax.jit(model.init)(jax.random.key(0), batch)["params"]
             state = TrainState.create(params, tx)
