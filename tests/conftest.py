@@ -12,6 +12,12 @@ if _flag not in os.environ.get("XLA_FLAGS", ""):
 # backend (e.g. "axon") whose plugin ignores JAX_PLATFORMS; unit tests always
 # run on the virtual-device CPU mesh, so force the default platform here.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon plugin ALSO ignores JAX_PLATFORMS and blocks forever in its
+# connect loop when the remote TPU pool session is wedged (observed: pytest
+# sat 23 min with 12 s CPU).  Clearing the pool IPs bypasses plugin
+# registration entirely — same trick as __graft_entry__.dryrun_multichip's
+# re-exec child.  Must happen before the first `import jax`.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
