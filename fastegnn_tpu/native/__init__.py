@@ -76,7 +76,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
@@ -160,6 +160,7 @@ def pack_v5_native(
     W: int,
     G: int,
     D: int = 128,
+    S: int = 1,
 ):
     """C++ v5 edge-kernel packer.  Returns ``(idsx [8, n_slots] i32,
     w0 [n_chunks] i32, dw0 [n_chunks] i32, sdb [n_super] i32)`` or ``None``
@@ -179,7 +180,7 @@ def pack_v5_native(
     n_chunks = lib.pack_v5(
         _iptr(d), _iptr(s), _fptr(ea),
         mk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        d.shape[0], fe, num_nodes, chunk, W, G, D,
+        d.shape[0], fe, num_nodes, chunk, W, G, D, S,
         None, None, None, None, 0)
     idsx = np.empty((8, n_chunks * chunk), np.int32)
     w0 = np.empty(n_chunks, np.int32)
@@ -188,7 +189,7 @@ def pack_v5_native(
     got = lib.pack_v5(
         _iptr(d), _iptr(s), _fptr(ea),
         mk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        d.shape[0], fe, num_nodes, chunk, W, G, D,
+        d.shape[0], fe, num_nodes, chunk, W, G, D, S,
         _iptr(idsx), _iptr(w0), _iptr(dw0), _iptr(sdb), n_chunks)
     assert got == n_chunks, "pack_v5 capacity mismatch"
     return idsx, w0, dw0, sdb

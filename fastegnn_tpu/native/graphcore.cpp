@@ -172,25 +172,28 @@ struct V5Chunk {
 int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
                 const uint8_t* mask, int64_t n_edges, int64_t fe,
                 int64_t num_nodes, int64_t chunk, int64_t W, int64_t G,
-                int64_t D, int32_t* idsx, int32_t* w0_out, int32_t* dw0_out,
-                int32_t* sdb_out, int64_t capacity_chunks) {
+                int64_t D, int64_t S, int32_t* idsx, int32_t* w0_out,
+                int32_t* dw0_out, int32_t* sdb_out,
+                int64_t capacity_chunks) {
   const int64_t kRows = 128;
+  const int64_t kSRows = S * kRows;   // dst superblock rows
   const int64_t n_blocks = (num_nodes + kRows - 1) / kRows;
+  const int64_t n_sblocks = (num_nodes + kSRows - 1) / kSRows;
   const int64_t max_w0 = n_blocks > W ? n_blocks - W : 0;
 
-  // real edges, stably sorted by (dst_block, src_block, dst_local) via
-  // counting sort over n_blocks^2 * 128 keys (comparator sorts cost
-  // ~140 ms at 580k edges; this is O(E + keys))
-  const int64_t n_keys = n_blocks * n_blocks * kRows;
+  // real edges, stably sorted by (dst_superblock, src_block, dst_local)
+  // via counting sort (comparator sorts cost ~140 ms at 580k edges; this
+  // is O(E + keys))
+  const int64_t n_keys = n_sblocks * n_blocks * kSRows;
   std::vector<int64_t> bucket(n_keys + 1, 0);
   std::vector<int64_t> ekey(n_edges);
   for (int64_t e = 0; e < n_edges; ++e) {
     if (mask[e] && dst[e] < num_nodes) {
       const int64_t k =
-          ((static_cast<int64_t>(dst[e]) / kRows) * n_blocks +
+          ((static_cast<int64_t>(dst[e]) / kSRows) * n_blocks +
            src[e] / kRows) *
-              kRows +
-          dst[e] % kRows;
+              kSRows +
+          dst[e] % kSRows;
       ekey[e] = k;
       ++bucket[k + 1];
     } else {
@@ -206,8 +209,8 @@ int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
       if (ekey[e] >= 0) order[fill[ekey[e]]++] = e;
   }
 
-  // greedy pack into per-db chunk lists
-  std::vector<std::vector<V5Chunk>> per_db(n_blocks);
+  // greedy pack into per-superblock chunk lists
+  std::vector<std::vector<V5Chunk>> per_db(n_sblocks);
   V5Chunk cur;
   bool open = false;
   auto close = [&]() {
@@ -217,15 +220,15 @@ int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
   };
   int64_t t0 = 0;
   while (t0 < m) {
-    const int32_t tdb = dst[order[t0]] / kRows;
+    const int32_t tdb = dst[order[t0]] / kSRows;
     const int32_t tsb = src[order[t0]] / kRows;
     int64_t t1 = t0;
-    while (t1 < m && dst[order[t1]] / kRows == tdb &&
+    while (t1 < m && dst[order[t1]] / kSRows == tdb &&
            src[order[t1]] / kRows == tsb)
       ++t1;
     int64_t pos = t0;
     while (pos < t1) {
-      const int32_t dl = dst[order[pos]] % kRows;
+      const int32_t dl = dst[order[pos]] % kSRows;
       if (open && (cur.db != tdb || tsb - cur.w0 >= W || tsb < cur.w0 ||
                    dl - cur.dw0 >= D || dl < cur.dw0))
         close();
@@ -233,14 +236,14 @@ int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
         cur.db = tdb;
         cur.w0 = static_cast<int32_t>(std::min<int64_t>(tsb, max_w0));
         cur.dw0 = static_cast<int32_t>(
-            std::min<int64_t>(dl / 8 * 8, kRows - D));
+            std::min<int64_t>(dl / 8 * 8, kSRows - D));
         open = true;
       }
       // furthest in-tile edge whose dst row stays inside [dw0, dw0+D)
       // (dst_local ascending within the tile)
       int64_t lim = pos;
       const int32_t dmax = cur.dw0 + static_cast<int32_t>(D);
-      while (lim < t1 && dst[order[lim]] % kRows < dmax) ++lim;
+      while (lim < t1 && dst[order[lim]] % kSRows < dmax) ++lim;
       const int64_t take =
           std::min(chunk - cur.filled, std::min(t1 - pos, lim - pos));
       if (take == 0) {
@@ -257,7 +260,7 @@ int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
   close();
 
   int64_t n_chunks = 0;
-  for (int64_t b = 0; b < n_blocks; ++b) {
+  for (int64_t b = 0; b < n_sblocks; ++b) {
     int64_t want = per_db[b].empty() ? 1 : per_db[b].size();
     want = ((want + G - 1) / G) * G;
     n_chunks += want;
@@ -272,7 +275,7 @@ int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
   const int32_t* ea_bits = reinterpret_cast<const int32_t*>(ea);
 
   int64_t ci = 0;
-  for (int64_t b = 0; b < n_blocks; ++b) {
+  for (int64_t b = 0; b < n_sblocks; ++b) {
     int64_t want = per_db[b].empty() ? 1 : per_db[b].size();
     want = ((want + G - 1) / G) * G;
     for (int64_t k = 0; k < want; ++k, ++ci) {
@@ -287,7 +290,7 @@ int64_t pack_v5(const int32_t* dst, const int32_t* src, const float* ea,
         for (int64_t i = 0; i < r.take; ++i) {
           const int64_t e = order[r.pos + i];
           const int64_t s = at + i;
-          idsx[s] = dst[e] % kRows - dw0;                  // row 0
+          idsx[s] = dst[e] % kSRows - dw0;                 // row 0
           idsx[n_slots + s] = r.woff * kRows + src[e] % kRows;  // row 1
           for (int64_t f = 0; f < fe; ++f)
             idsx[(2 + f) * n_slots + s] = ea_bits[e * fe + f];

@@ -79,12 +79,17 @@ class EdgeKernelV5Meta:
                          #  bits, rest 0
     w0: jax.Array        # [n_chunks] i32 window base src block
     dw0: jax.Array       # [n_chunks] i32 dst-window base row (8-aligned,
-                         #  within the superchunk's 128-row dst block)
-    sdb: jax.Array       # [n_super] i32 dst block of each superchunk
+                         #  within the superchunk's S*128-row dst superblock)
+    sdb: jax.Array       # [n_super] i32 dst SUPERBLOCK of each superchunk
     chunk: int = struct.field(pytree_node=False, default=256)
     W: int = struct.field(pytree_node=False, default=2)
     G: int = struct.field(pytree_node=False, default=8)
     D: int = struct.field(pytree_node=False, default=128)
+    # S = dst-superblock factor: the streamed output / upstream-grad block
+    # covers S*128 node rows.  Larger S costs nothing per slot (the dst
+    # one-hot stays [D, chunk]); it cuts the per-block round-up-to-G padding
+    # by ~S and lets chunks span 128-row block boundaries.
+    S: int = struct.field(pytree_node=False, default=1)
     n_slots: int = struct.field(pytree_node=False, default=0)
     n_chunks: int = struct.field(pytree_node=False, default=0)
     n_super: int = struct.field(pytree_node=False, default=0)
@@ -102,18 +107,20 @@ def make_v5_meta(
     W: int = 2,
     G: int = 8,
     D: int = 128,
+    S: int = 1,
 ) -> EdgeKernelV5Meta:
-    """Pack edges into contiguous-window chunks grouped into same-dst-block
-    superchunks.
+    """Pack edges into contiguous-window chunks grouped into same-dst-
+    superblock superchunks.
 
-    Edges are sorted by (dst_block, src_block, dst); per dst block, chunks
-    accept tiles while their src block stays within [w0, w0+W) AND their
-    dst row stays within [dw0, dw0+D) (``D`` < 128 shrinks the dst one-hot
-    and scatter dots ~4x at the cost of padding — D=128 disables the
-    constraint).  Each dst block's chunk run is padded to a multiple of G
-    with same-block sentinel chunks, and every block emits at least one
-    (possibly empty) superchunk so its streamed output block is always
-    written.
+    Edges are sorted by (dst_superblock, src_block, dst); per dst superblock
+    (``S`` 128-row blocks), chunks accept tiles while their src block stays
+    within [w0, w0+W) AND their dst row stays within [dw0, dw0+D) of the
+    superblock (``D`` < 128 shrinks the dst one-hot and scatter dots ~4x at
+    the cost of padding — D=128 disables the constraint).  Each superblock's
+    chunk run is padded to a multiple of G with sentinel chunks, and every
+    superblock emits at least one (possibly empty) superchunk so its
+    streamed output block is always written.  ``S`` > 1 shrinks that
+    round-up padding ~S-fold at zero per-slot cost.
     """
     dst = np.asarray(dst)
     src = np.asarray(src)
@@ -121,6 +128,8 @@ def make_v5_meta(
     fe = edge_attr.shape[1]
     assert fe <= 3, f"edge_attr dim {fe} exceeds v5 packing capacity"
     assert D % 8 == 0 and 8 <= D <= 128
+    assert S >= 1
+    srows = S * ROWS
     n_blocks_ = _round_up(num_nodes, ROWS) // ROWS
 
     # native C++ packer (same algorithm; ~50x faster at Water-3D scale —
@@ -128,40 +137,41 @@ def make_v5_meta(
     from fastegnn_tpu import native
 
     packed = native.pack_v5_native(
-        dst, src, edge_attr, edge_mask, num_nodes, chunk, W, G, D)
+        dst, src, edge_attr, edge_mask, num_nodes, chunk, W, G, D, S)
     if packed is not None:
         idsx_n, w0_n, dw0_n, sdb_n = packed
         n_chunks_ = w0_n.shape[0]
-        # the kernel promises Mosaic 8-alignment of sdb*ROWS + dw0 slices
+        # the kernel promises Mosaic 8-alignment of sdb*S*ROWS + dw0 slices
         # (pl.multiple_of below); a packer regression must fail loudly here
         # rather than silently corrupt dst-window slices on hardware
         assert (np.asarray(dw0_n) % 8 == 0).all(), "v5 packer: dw0 not 8-aligned"
         return EdgeKernelV5Meta(
             idsx=jnp.asarray(idsx_n), w0=jnp.asarray(w0_n),
             dw0=jnp.asarray(dw0_n), sdb=jnp.asarray(sdb_n),
-            chunk=chunk, W=W, G=G, D=D,
+            chunk=chunk, W=W, G=G, D=D, S=S,
             n_slots=n_chunks_ * chunk, n_chunks=n_chunks_,
             n_super=n_chunks_ // G, n_blocks=n_blocks_, eattr_fe=fe)
 
     real = np.asarray(edge_mask) & (dst < num_nodes)
     eidx = np.nonzero(real)[0]
     dst_r, src_r = dst[eidx], src[eidx]
-    db, sb = dst_r // ROWS, src_r // ROWS
-    order = np.lexsort((dst_r % ROWS, sb, db))  # dst ascending within tile
+    db, sb = dst_r // srows, src_r // ROWS
+    order = np.lexsort((dst_r % srows, sb, db))  # dst ascending within tile
     eidx, dst_r, src_r, db, sb = (
         eidx[order], dst_r[order], src_r[order], db[order], sb[order])
 
-    n_blocks = _round_up(num_nodes, ROWS) // ROWS
+    n_blocks = n_blocks_
+    n_sblocks = _round_up(num_nodes, srows) // srows
     key = db.astype(np.int64) * n_blocks + sb
     tb = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [key.size]])
     max_w0 = max(n_blocks - W, 0)
-    dloc_all = (dst_r % ROWS).astype(np.int32)
+    dloc_all = (dst_r % srows).astype(np.int32)
 
     # chunk assembly works on (pos, take, woff) RUNS, not per-edge python
     # items — the tile loop is O(#tiles + #chunks), edges are materialized
     # at the end with numpy slicing
-    per_db = {b: [] for b in range(n_blocks)}  # b -> [(w0, dw0, runs, n)]
-    cur = None                                 # [db, w0, dw0, runs, n]
+    per_db = {b: [] for b in range(n_sblocks)}  # b -> [(w0, dw0, runs, n)]
+    cur = None                                  # [db, w0, dw0, runs, n]
 
     def close():
         nonlocal cur
@@ -181,7 +191,7 @@ def make_v5_meta(
                                     or dl - cur[2] >= D or dl < cur[2]):
                 close()
             if cur is None:
-                cur = [tdb, min(tsb, max_w0), min(dl // 8 * 8, 128 - D),
+                cur = [tdb, min(tsb, max_w0), min(dl // 8 * 8, srows - D),
                        [], 0]
             # furthest in-tile edge whose dst row stays inside the window
             lim = lo + int(np.searchsorted(dl_tile, cur[2] + D))
@@ -197,7 +207,7 @@ def make_v5_meta(
     close()
 
     chunks = []                                 # (db, w0, dw0, runs)
-    for b in range(n_blocks):
+    for b in range(n_sblocks):
         run = per_db[b]
         want = _round_up(max(len(run), 1), G)
         chunks.extend((b, w0, dw0, runs) for (w0, dw0, runs, _) in run)
@@ -244,7 +254,7 @@ def make_v5_meta(
     return EdgeKernelV5Meta(
         idsx=jnp.asarray(idsx), w0=jnp.asarray(w0_arr),
         dw0=jnp.asarray(dw0_arr), sdb=jnp.asarray(sdb),
-        chunk=chunk, W=W, G=G, D=D, n_slots=n_slots, n_chunks=n_chunks,
+        chunk=chunk, W=W, G=G, D=D, S=S, n_slots=n_slots, n_chunks=n_chunks,
         n_super=n_super, n_blocks=n_blocks, eattr_fe=fe)
 
 
@@ -294,7 +304,8 @@ def pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, fe, cd):
 # ---------------------------------------------------------------------------
 
 
-def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg, W, D, cd):
+def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg, W, D,
+            S, cd):
     """One-hot gather dots for one chunk; returns bigT [128, chunk] f32
     (rows 0:64 Ud[dst]+Us[src], 64:72 hi(xd-xs), 72:80 lo) + masks.
     The dst one-hot covers only the chunk's D-row dst window."""
@@ -306,7 +317,8 @@ def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg, W, D, cd):
     PsT = (iota_s == gl).astype(cd)
     eaT = jax.lax.bitcast_convert_type(blk[2:8, :], jnp.float32).astype(cd)
     td = tab_ref[
-        pl.ds(pl.multiple_of(sdb_ref[c] * ROWS + dw0_ref[cg], 8), D), 0:128]
+        pl.ds(pl.multiple_of(sdb_ref[c] * (S * ROWS) + dw0_ref[cg], 8), D),
+        0:128]
     tw = tab_ref[pl.ds(w0_ref[cg] * ROWS, W * ROWS), 128:256]
     bigT = jax.lax.dot_general(
         td, PdT, (((0,), (0,)), ((), ())),
@@ -380,7 +392,7 @@ def _chain_bwd(w, deT, wp_ref, vpc_ref, cd):
 
 
 def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
-                tab_ref, idsx_ref, out_ref, *, G, W, D, cd, chunk):
+                tab_ref, idsx_ref, out_ref, *, G, W, D, S, cd, chunk):
     c = pl.program_id(0)
     first = jnp.logical_or(
         c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
@@ -392,7 +404,7 @@ def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
     gs = [
         _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref,
                 idsx_ref[:, g * chunk:(g + 1) * chunk], c, c * G + g, W, D,
-                cd)
+                S, cd)
         for g in range(G)
     ]
     bigT = jnp.concatenate([f["bigT"] for f in gs], axis=1)
@@ -412,7 +424,7 @@ def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
 
 def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
                 tab_ref, idsx_ref, dout_ref,
-                daccd_ref, daccs_ref, dw_ref, *, G, W, D, cd, chunk):
+                daccd_ref, daccs_ref, dw_ref, *, G, W, D, S, cd, chunk):
     H = H_MAX
     c = pl.program_id(0)
     first = jnp.logical_or(
@@ -433,7 +445,7 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
         cg = c * G + g
         blk = idsx_ref[:, g * chunk:(g + 1) * chunk]
         f = _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg,
-                    W, D, cd)
+                    W, D, S, cd)
         gs.append(f)
         o = pl.multiple_of(dw0_ref[cg], 8)
         dout_c = dout_ref[pl.ds(o, D), :].astype(cd)     # [D, 128f]
@@ -501,16 +513,17 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "W", "G", "D", "n_seg_pad", "interpret"))
-def _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, chunk, W, G, D, n_seg_pad,
-              interpret):
+    static_argnames=("chunk", "W", "G", "D", "S", "n_seg_pad",
+                     "interpret"))
+def _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, chunk, W, G, D, S,
+              n_seg_pad, interpret):
     sdb, w0, dw0 = meta_arrs
     n_super = sdb.shape[0]
     cd = tab.dtype
     prec = "highest" if cd == jnp.float32 else "default"
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, G=G, W=W, D=D, cd=cd,
+            functools.partial(_fwd_kernel, G=G, W=W, D=D, S=S, cd=cd,
                               chunk=chunk),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -524,7 +537,7 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, chunk, W, G, D, n_seg_pad,
                                  lambda c, sdb, w0, dw0: (0, c)),
                 ],
                 out_specs=pl.BlockSpec(
-                    (ROWS, 128), lambda c, sdb, w0, dw0: (sdb[c], 0)),
+                    (S * ROWS, 128), lambda c, sdb, w0, dw0: (sdb[c], 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
             interpret=interpret,
@@ -533,8 +546,9 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, chunk, W, G, D, n_seg_pad,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "W", "G", "D", "n_seg_pad", "interpret"))
-def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G, D,
+    static_argnames=("chunk", "W", "G", "D", "S", "n_seg_pad",
+                     "interpret"))
+def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G, D, S,
               n_seg_pad, interpret):
     sdb, w0, dw0 = meta_arrs
     n_super = sdb.shape[0]
@@ -542,7 +556,7 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G, D,
     prec = "highest" if cd == jnp.float32 else "default"
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, G=G, W=W, D=D, cd=cd,
+            functools.partial(_bwd_kernel, G=G, W=W, D=D, S=S, cd=cd,
                               chunk=chunk),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -555,12 +569,12 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G, D,
                     pl.BlockSpec((8, G * chunk),
                                  lambda c, sdb, w0, dw0: (0, c)),
                     pl.BlockSpec(
-                        (ROWS, 128),
+                        (S * ROWS, 128),
                         lambda c, sdb, w0, dw0: (sdb[c], 0)),  # dout
                 ],
                 out_specs=(
                     pl.BlockSpec(
-                        (ROWS, 128),
+                        (S * ROWS, 128),
                         lambda c, sdb, w0, dw0: (sdb[c], 0)),  # daccd
                     pl.BlockSpec(memory_space=pltpu.VMEM),     # daccs
                     pl.BlockSpec(memory_space=pltpu.VMEM),     # dw
@@ -598,8 +612,8 @@ def fused_edge_block_v5(
     assert H == H_MAX, "edge kernel v5 assumes hidden == 64"
     Fe = meta.eattr_fe
     cd = jnp.dtype(compute_dtype)
-    chunk, W, G, D = meta.chunk, meta.W, meta.G, meta.D
-    n_seg_pad = max(_round_up(N, ROWS), W * ROWS)
+    chunk, W, G, D, S = meta.chunk, meta.W, meta.G, meta.D, meta.S
+    n_seg_pad = max(_round_up(N, S * ROWS), W * ROWS, S * ROWS)
     interpret = jax.default_backend() != "tpu"
     meta_arrs = (meta.sdb, meta.w0, meta.dw0)
     idsx = meta.idsx
@@ -612,7 +626,7 @@ def fused_edge_block_v5(
         tab = build_tab_v5(h, x, W1, b1, cd, n_seg_pad)
         wp, eW, vpc = pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, Fe, cd)
         out = _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx,
-                        chunk, W, G, D, n_seg_pad, interpret)
+                        chunk, W, G, D, S, n_seg_pad, interpret)
         m_sum = out[:N, 0:H]
         t_sum = (out[:N, H:H + 8] + out[:N, H + 8:H + 16])[:, 0:3]
         return (m_sum, t_sum), (h, tab, wp, eW, vpc, W1)
@@ -628,7 +642,7 @@ def fused_edge_block_v5(
         )
         daccd, daccs, dw = _bwd_impl(
             meta_arrs, wp, eW, vpc, tab, idsx, dout,
-            chunk, W, G, D, n_seg_pad, interpret)
+            chunk, W, G, D, S, n_seg_pad, interpret)
         # epilogue: per-node dUd/dUs -> dh, dW1, db1 (three XLA matmuls)
         dUd = daccd[:N, 0:H]
         dUs = daccs[:N, 0:H]

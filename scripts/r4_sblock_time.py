@@ -1,0 +1,96 @@
+"""Round-4: on-chip timing of v5 superblock (S) packing configs.
+
+Times fwd (jit of the kernel) and bwd-only (grad of sum — XLA DCEs the fwd
+pallas call, leaving exactly the bwd kernel + epilogue; verified via xplane
+trace, scripts/r4_profile_chain.py).
+"""
+
+import os
+import time
+
+os.environ.setdefault("_FASTEGNN_BENCH_NOPROBE", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import build_batch
+import fastegnn_tpu.ops.edge_kernel_v5 as ek5
+
+
+def main():
+    batch, n_real, _ = build_batch(8000, 60, channels=3)
+    N = batch.coord.shape[0]
+    H = 64
+    dst = np.asarray(batch.dst); src = np.asarray(batch.src)
+    ea = np.asarray(batch.edge_attr); mask = np.asarray(batch.edge_mask)
+    rng = np.random.default_rng(0)
+    h_d = jax.device_put(rng.normal(size=(N, H)).astype(np.float32))
+    ws = jax.device_put((
+        (rng.normal(size=(2 * H + 3, H)) * 0.1).astype(np.float32),
+        np.zeros((H,), np.float32),
+        (rng.normal(size=(H, H)) * 0.1).astype(np.float32),
+        np.zeros((H,), np.float32),
+        (rng.normal(size=(H, H)) * 0.1).astype(np.float32),
+        np.zeros((H,), np.float32),
+        (rng.normal(size=(H, 1)) * 0.01).astype(np.float32),
+    ))
+    x_d = batch.coord
+    float(jnp.sum(x_d[:8]))
+
+    def overhead():
+        t0 = time.perf_counter()
+        float(jnp.sum(x_d[:8]))
+        return time.perf_counter() - t0
+
+    ov = min(overhead() for _ in range(3))
+    print(f"overhead {ov*1e3:.1f} ms", flush=True)
+
+    def timed(label, fn, n=50):
+        r = fn()
+        float(jnp.ravel(jax.tree.leaves(r)[0])[0].astype(jnp.float32))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn()
+        float(jnp.ravel(jax.tree.leaves(r)[0])[0].astype(jnp.float32))
+        dt = max(time.perf_counter() - t0 - ov, 1e-9) / n * 1e3
+        print(f"{label:<44s} {dt:8.3f} ms", flush=True)
+        return dt
+
+    configs = [
+        (128, 1, 16, 64, 1),
+        (128, 1, 16, 64, 4),
+        (128, 1, 16, 64, 8),
+        (128, 1, 8, 64, 8),
+        (128, 1, 16, 128, 8),
+    ]
+    for (c, W, G, D, S) in configs:
+        meta = ek5.make_v5_meta(dst, src, ea, mask, batch.num_nodes,
+                                chunk=c, W=W, G=G, D=D, S=S)
+        pad = 1 - n_real / meta.n_slots
+        print(f"-- c{c} W{W} G{G} D{D} S{S}: slots={meta.n_slots} "
+              f"pad={pad*100:.1f}%", flush=True)
+        meta = jax.device_put(meta)
+
+        fwd = jax.jit(lambda h, x, *w: ek5.fused_edge_block_v5(
+            h, x, meta, *w, compute_dtype=jnp.bfloat16))
+        try:
+            timed("  fwd", lambda: fwd(h_d, x_d, *ws))
+        except Exception as e:
+            print(f"  fwd FAILED: {str(e)[:100]}", flush=True)
+            continue
+
+        def loss(h, x, *w):
+            ms, ts = ek5.fused_edge_block_v5(
+                h, x, meta, *w, compute_dtype=jnp.bfloat16)
+            return jnp.sum(ms) + jnp.sum(ts)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1) + tuple(range(2, 11))))
+        try:
+            timed("  bwd-only (fwd DCEd)", lambda: g(h_d, x_d, *ws))
+        except Exception as e:
+            print(f"  bwd FAILED: {str(e)[:100]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,11 +19,13 @@ from test_edge_kernel_v3 import _ref_edge_block, _setup
 H = 64
 
 
-@pytest.mark.parametrize("chunk,window,G", [(256, 2, 2), (128, 4, 4)])
-def test_forward_matches_unfused(chunk, window, G):
+@pytest.mark.parametrize("chunk,window,G,S",
+                         [(256, 2, 2, 1), (128, 4, 4, 1), (128, 2, 2, 2),
+                          (128, 1, 4, 4)])
+def test_forward_matches_unfused(chunk, window, G, S):
     h, x, dst, src, ea, w = _setup()
     meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), h.shape[0],
-                        chunk=chunk, W=window, G=G)
+                        chunk=chunk, W=window, G=G, S=S)
     ms, ts = fused_edge_block_v5(h, x, meta, *w)
     ms_r, ts_r = _ref_edge_block(h, x, jnp.asarray(dst), jnp.asarray(src),
                                  jnp.asarray(ea), *w)
@@ -31,10 +33,11 @@ def test_forward_matches_unfused(chunk, window, G):
     np.testing.assert_allclose(ts, ts_r, rtol=2e-5, atol=2e-5)
 
 
-def test_gradients_match_unfused():
+@pytest.mark.parametrize("S", [1, 4])
+def test_gradients_match_unfused(S):
     h, x, dst, src, ea, w = _setup()
     meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), h.shape[0],
-                        chunk=256, W=2, G=2)
+                        chunk=256, W=2, G=2, S=S)
     rng = np.random.default_rng(1)
     cot_m = jnp.asarray(rng.normal(size=(h.shape[0], H)), jnp.float32)
     cot_t = jnp.asarray(rng.normal(size=(h.shape[0], 3)), jnp.float32)

@@ -70,14 +70,17 @@ def test_pack_v5_native_matches_python():
     src = rng.integers(0, n, e).astype(np.int32)
     ea = rng.normal(size=(e, 2)).astype(np.float32)
     mask = rng.random(e) > 0.05
-    for chunk, W, G, D in [(256, 2, 4, 128), (128, 3, 2, 128), (128, 2, 2, 32)]:
-        m_nat = ek5.make_v5_meta(dst, src, ea, mask, n, chunk=chunk, W=W, G=G, D=D)
+    for chunk, W, G, D, S in [(256, 2, 4, 128, 1), (128, 3, 2, 128, 1),
+                              (128, 2, 2, 32, 1), (128, 2, 2, 64, 2),
+                              (128, 1, 4, 64, 4)]:
+        m_nat = ek5.make_v5_meta(dst, src, ea, mask, n, chunk=chunk, W=W,
+                                 G=G, D=D, S=S)
         os.environ["FASTEGNN_TPU_NO_NATIVE"] = "1"
         try:
             native._LIB = None
             native._TRIED = False
             m_py = ek5.make_v5_meta(dst, src, ea, mask, n,
-                                    chunk=chunk, W=W, G=G, D=D)
+                                    chunk=chunk, W=W, G=G, D=D, S=S)
         finally:
             del os.environ["FASTEGNN_TPU_NO_NATIVE"]
             native._LIB = None
