@@ -42,7 +42,14 @@ from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from fastegnn_tpu.graph import GraphBatch
-from fastegnn_tpu.ops.segment import graph_mean_pool, segment_sum
+from fastegnn_tpu.models.fastegnn_core import (
+    LayerCfg,
+    LayerWeights,
+    edge_messages,
+    make_take_pool,
+    virtual_and_node_update,
+)
+from fastegnn_tpu.ops.segment import segment_sum
 from fastegnn_tpu.train.step import TrainState
 from fastegnn_tpu.train.loss import mmd_loss
 
@@ -93,6 +100,7 @@ def make_owner_sharded_batch(
     ek5_window: int = 2,
     ek5_super: int = 8,
     ek5_dwin: int = 128,
+    ek5_sblocks: int = 1,
 ) -> OwnerShardedBatch:
     """Host-side partitioner (numpy).  Node capacity must divide by G."""
     N = batch.num_nodes
@@ -151,12 +159,15 @@ def make_owner_sharded_batch(
         metas = [
             make_v5_meta(dst_l[i], src_l[i], ea_l[i], em_l[i], NT,
                          chunk=ek5_chunk, W=ek5_window, G=ek5_super,
-                         D=ek5_dwin)
+                         D=ek5_dwin, S=ek5_sblocks)
             for i in range(G)
         ]
         n_blocks = metas[0].n_blocks
         max_super = max(m.n_super for m in metas)
         chunk = ek5_chunk
+        # sentinel superchunks pad to the LAST dst superblock (every
+        # superblock emits >= 1 superchunk, so max(sdb) is its id)
+        last_sblock = int(np.asarray(metas[0].sdb).max())
         idsx_l, w0_l, dw0_l, sdb_l = [], [], [], []
         for m in metas:
             pad_s = max_super - m.n_super
@@ -169,13 +180,13 @@ def make_owner_sharded_batch(
             w0_l.append(np.pad(np.asarray(m.w0), (0, pad_s * ek5_super)))
             dw0_l.append(np.pad(np.asarray(m.dw0), (0, pad_s * ek5_super)))
             sdb_l.append(np.pad(np.asarray(m.sdb), (0, pad_s),
-                                constant_values=n_blocks - 1))
+                                constant_values=last_sblock))
         ek5_idsx = jnp.asarray(np.stack(idsx_l))
         ek5_w0 = jnp.asarray(np.stack(w0_l))
         ek5_dw0 = jnp.asarray(np.stack(dw0_l))
         ek5_sdb = jnp.asarray(np.stack(sdb_l))
         ek5_cfg = (ek5_chunk, ek5_window, ek5_super, ek5_dwin, n_blocks,
-                   ea.shape[1])
+                   ea.shape[1], ek5_sblocks)
 
     def shard_nodes(a):
         return jnp.asarray(np.asarray(a).reshape((G, Nl) + np.asarray(a).shape[1:]))
@@ -211,16 +222,6 @@ def _lin(p, x):
     return x @ p["kernel"] + p["bias"] if "bias" in p else x @ p["kernel"]
 
 
-def _mlp(p, x, act_final=False):
-    y = jax.nn.silu(_lin(p["lin0"], x))
-    y = _lin(p["lin1"], y)
-    return jax.nn.silu(y) if act_final else y
-
-
-def _coord_mlp(p, x):
-    return _lin(p["head"], jax.nn.silu(_lin(p["lin0"], x)))
-
-
 def owner_sharded_fastegnn(
     params: dict,
     sb: OwnerShardedBatch,
@@ -234,6 +235,11 @@ def owner_sharded_fastegnn(
 
     All leaves of ``sb`` arrive with the leading mesh axis stripped.
     Returns (pred coords [Nl, 3] owned rows, virtual coords [B, 3, C]).
+
+    The layer math is the single copy in ``models/fastegnn_core.py``
+    (``edge_messages`` on the halo gather table, ``virtual_and_node_update``
+    with psum-aware take/pool) — identical numerics to the unsharded
+    ``models.FastEGNN``, so 1-vs-G exactness holds by construction.
     """
     Nl = sb.node_feat.shape[0]
     B = sb.n_graphs
@@ -247,9 +253,20 @@ def owner_sharded_fastegnn(
     h = _lin(params["embedding_in"], sb.node_feat)
     x, v = sb.coord, sb.vel
     g = jnp.asarray(gravity, jnp.float32) if gravity is not None else None
+    cd = jnp.dtype(compute_dtype)
+    cfg = LayerCfg(
+        hidden=H, virtual_channels=C, residual=True,
+        has_gravity=gravity is not None, compute_dtype=cd,
+    )
+    take, pool = make_take_pool(
+        gid, nmask, B, use_onehot=cd == jnp.bfloat16, compute_dtype=cd,
+        axis=axis,
+    )
 
     for li in range(n_layers):
         p = params[f"gcl_{li}"]
+        w = LayerWeights.from_param_dict(
+            p, has_gravity=gravity is not None, attention=False)
         # ---- halo exchange: boundary rows of (h, x) ----
         hx = jnp.concatenate([h, x], axis=-1)              # [Nl, H+3]
         send = jnp.take(hx, sb.send_idx, axis=0)           # [S, H+3]
@@ -260,7 +277,6 @@ def owner_sharded_fastegnn(
 
         # ---- local edge block (all in-edges of owned rows live here) ----
         cnt = jnp.maximum(sb.dst_count, 1.0)
-        cd = jnp.dtype(compute_dtype)
         use_k = sb.ek5_idsx is not None and H == 64 and (
             cd == jnp.bfloat16 or jax.default_backend() != "tpu")
         if use_k:
@@ -269,20 +285,17 @@ def owner_sharded_fastegnn(
             from fastegnn_tpu.ops.edge_kernel_v5 import (
                 EdgeKernelV5Meta, fused_edge_block_v5)
 
-            ck, Wk, Gk, Dk, nbk, fek = sb.ek5_cfg
+            ck, Wk, Gk, Dk, nbk, fek = sb.ek5_cfg[:6]
+            Sk = sb.ek5_cfg[6] if len(sb.ek5_cfg) > 6 else 1
             n_chunks_k = sb.ek5_w0.shape[0]
             meta = EdgeKernelV5Meta(
                 idsx=sb.ek5_idsx, w0=sb.ek5_w0, dw0=sb.ek5_dw0,
-                sdb=sb.ek5_sdb, chunk=ck, W=Wk, G=Gk, D=Dk,
+                sdb=sb.ek5_sdb, chunk=ck, W=Wk, G=Gk, D=Dk, S=Sk,
                 n_slots=n_chunks_k * ck, n_chunks=n_chunks_k,
                 n_super=sb.ek5_sdb.shape[0], n_blocks=nbk, eattr_fe=fek)
             m_sum, t_sum = fused_edge_block_v5(
                 table[:, :H], table[:, H:], meta,
-                p["edge_mlp_lin0"]["kernel"], p["edge_mlp_lin0"]["bias"],
-                p["edge_mlp_lin1"]["kernel"], p["edge_mlp_lin1"]["bias"],
-                p["coord_mlp_r_lin0"]["kernel"],
-                p["coord_mlp_r_lin0"]["bias"],
-                p["coord_mlp_r_head"]["kernel"],
+                w.W1, w.b1, w.W2, w.b2, w.Wg1, w.bg1, w.wg2,
                 compute_dtype=cd,
             )
             agg_e = m_sum[:Nl] / cnt[:, None]
@@ -290,82 +303,21 @@ def owner_sharded_fastegnn(
         else:
             hx_dst = jnp.take(hx, dst, axis=0, mode="clip")
             hx_src = jnp.take(table, srcl, axis=0, mode="clip")
-            h_dst, x_dst = hx_dst[:, :H], hx_dst[:, H:]
-            h_src, x_src = hx_src[:, :H], hx_src[:, H:]
-            diff = x_dst - x_src
-            radial = jnp.sum(diff**2, axis=-1, keepdims=True)
-            e_in = jnp.concatenate(
-                [h_dst, h_src, radial, sb.edge_attr], axis=-1)
-            m_e = jax.nn.silu(_lin(p["edge_mlp_lin1"], jax.nn.silu(
-                _lin(p["edge_mlp_lin0"], e_in))))
-            gate = _lin(p["coord_mlp_r_head"], jax.nn.silu(
-                _lin(p["coord_mlp_r_lin0"], m_e)))
-            trans = diff * gate
+            m_e, trans = edge_messages(
+                cfg, w, hx_dst[:, :H], hx_src[:, :H],
+                hx_dst[:, H:], hx_src[:, H:], sb.edge_attr,
+            )
             agg_x = segment_sum(trans, dst, Nl, mask=emask,
                                 indices_are_sorted=True) / cnt[:, None]
-            agg_e = segment_sum(m_e, dst, Nl, mask=emask,
-                                indices_are_sorted=True) / cnt[:, None]
+            agg_e = segment_sum(
+                m_e.astype(jnp.float32), dst, Nl, mask=emask,
+                indices_are_sorted=True) / cnt[:, None]
 
-        # ---- dense virtual block on owned rows (flat3 re-association,
-        # models/fast_egnn.py); pools psum over the axis --
-        vx_nf = jnp.take(vx.reshape(B, C * 3), gid, axis=0, mode="clip")
-        vdiff = vx_nf - jnp.tile(x, (1, C))                # [Nl, 3C]
-        vrad = jnp.sqrt(jnp.sum((vdiff * vdiff).reshape(Nl, C, 3), axis=-1))
-        coord_mean = graph_mean_pool(x, gid, B, nmask, axis=axis)
-        m_x = vx - coord_mean[:, None, :]
-        gram = jnp.einsum("bci,bdi->bcd", m_x, m_x)
-        # first-layer split of phi_ev (no [Nl*C, 2H+1+C] input concat)
-        pe = p["edge_mlp_virtual"]
-        W0, b0 = pe["lin0"]["kernel"], pe["lin0"]["bias"]
-        zh = h.astype(cd) @ W0[:H].astype(cd)              # [Nl, H]
-        zb = (
-            vh.astype(cd) @ W0[H : 2 * H].astype(cd)
-            + gram.astype(cd) @ W0[2 * H + 1 :].astype(cd)
-            + b0.astype(cd)
-        )                                                  # [B, C, H]
-        zb_n = jnp.take(
-            zb.reshape(B, C * H), gid, axis=0, mode="clip"
-        ).reshape(Nl * C, H)
-        z1 = (
-            zh[:, None, :] + vrad[:, :, None].astype(cd) * W0[2 * H].astype(cd)
-        ).reshape(Nl * C, H) + zb_n
-        m_v = jax.nn.silu(
-            jax.nn.silu(z1) @ pe["lin1"]["kernel"].astype(cd)
-            + pe["lin1"]["bias"].astype(cd)
-        )                                                  # [Nl*C, H]
-        # combined coordinate-gate heads (phi_xv, phi_X)
-        pr, pv = p["coord_mlp_r_virtual"], p["coord_mlp_v_virtual"]
-        G1 = jnp.concatenate(
-            [pr["lin0"]["kernel"], pv["lin0"]["kernel"]], axis=1)
-        bG = jnp.concatenate([pr["lin0"]["bias"], pv["lin0"]["bias"]])
-        G2 = jnp.zeros((2 * H, 2), jnp.float32)
-        G2 = G2.at[:H, 0].set(pr["head"]["kernel"][:, 0])
-        G2 = G2.at[H:, 1].set(pv["head"]["kernel"][:, 0])
-        gates2 = (
-            jax.nn.silu(m_v @ G1.astype(cd) + bG.astype(cd)) @ G2.astype(cd)
-        ).astype(jnp.float32)                              # [Nl*C, 2]
-        gate_xv = gates2[:, 0].reshape(Nl, C)
-        gate_X = gates2[:, 1].reshape(Nl, C)
-        vdiff3 = vdiff.reshape(Nl, C, 3)
-
-        x_new = x + agg_x
-        x_new = x_new + jnp.einsum("ncd,nc->nd", -vdiff3, gate_xv) / C
-        x_new = x_new + _mlp(p["coord_mlp_vel"], h) * v
-        if g is not None:
-            x_new = x_new + _mlp(p["gravity_mlp"], h) * g
-
-        vxg = (vdiff3 * gate_X[:, :, None]).reshape(Nl, C * 3)
-        m_v32 = m_v.astype(jnp.float32).reshape(Nl, C * H)
-        pooled = graph_mean_pool(
-            jnp.concatenate([vxg, m_v32], axis=-1), gid, B, nmask, axis=axis)
-        vx = vx + pooled[:, : C * 3].reshape(B, C, 3)
-        pool_mv = pooled[:, C * 3 :].reshape(B, C, H)
-        vh = vh + _mlp(p["node_mlp_virtual"],
-                       jnp.concatenate([vh, pool_mv], axis=-1))
-
-        h = h + _mlp(p["node_mlp"],
-                     jnp.concatenate([h, agg_e, m_v32], axis=-1))
-        x = x_new
+        # ---- post-aggregation math: single copy in fastegnn_core ----
+        h, x, vx, vh = virtual_and_node_update(
+            cfg, w, h, x, v, vx, vh, gid, agg_x, agg_e,
+            take=take, pool=pool, gravity=g, node_attr=None,
+        )
 
     return x, jnp.transpose(vx, (0, 2, 1))
 
