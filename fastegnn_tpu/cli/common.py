@@ -89,14 +89,19 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
         compute_dtype=args.compute_dtype,
     )
     if mesh_g > 1:
-        # graph parallelism needs layer-level collectives: FastEGNN only
-        # (models/fast_egnn.py shard_axis); other families error out clearly
+        # graph parallelism = the owner-sharded FastEGNN path
+        # (parallel/owner_graph.py: O(N/G) node state, halo exchange,
+        # per-shard fused v5 kernels); other families error out clearly
         if args.model != "FastEGNN":
             raise ValueError(
                 f"--mesh graph={mesh_g} is only supported for FastEGNN "
                 f"(got {args.model}); use --mesh data=D for other models"
             )
-        model_kw.update(shard_axis="graph", shard_axis_size=mesh_g)
+        if (args.attention_required or args.tanh_required
+                or args.direction_vector_normalize_required):
+            raise ValueError(
+                "--mesh graph=G supports the paper FastEGNN configuration "
+                "only (no attention/tanh/normalize)")
     model = get_model(args.model, **model_kw)
     if args.model in ("DimeNet", "DimeNet++"):
         # triplet tables ride along with each batch (ref dispatch
@@ -136,16 +141,10 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
 
         init_args = (example, example.local_dst, example.local_src,
                      example.local_edge_attr, example.local_edge_mask)
-    # mesh path: the shard-axis model only runs inside shard_map (it uses
-    # lax.axis_index), so init/eval use an identically-parameterised
-    # unsharded twin; params and checkpoints are the same pytree either way
+    # mesh path: the owner-sharded step consumes the plain param dict, so
+    # init/eval use the ordinary unsharded model — params and checkpoints
+    # are the same pytree either way
     eval_model = model
-    if mesh_g > 1:
-        unsharded_kw = {
-            k: v for k, v in model_kw.items()
-            if k not in ("shard_axis", "shard_axis_size")
-        }
-        eval_model = get_model(args.model, **unsharded_kw)
 
     # jitted init: eager init pays a device round-trip per op (slow on
     # tunneled TPU backends)
@@ -164,7 +163,6 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
                 f"--mesh is not supported for {args.model} (custom step)")
         from fastegnn_tpu.parallel import make_mesh
         from fastegnn_tpu.parallel.data_parallel import make_dp_train_step
-        from fastegnn_tpu.parallel.graph_parallel import make_gp_train_step
         from fastegnn_tpu.parallel.sharded_batches import iter_sharded_batches
 
         n_dev = len(jax.devices())
@@ -184,22 +182,40 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
         mesh = make_mesh(tuple(s for _, s in axes),
                          tuple(n for n, _ in axes))
         use_mmd = args.model in MMD_MODELS
-        step_kw = dict(sigma=args.sigma, weight=args.weight,
-                       sample=args.sample,
-                       per_graph_sampling=per_graph_sampling,
-                       use_mmd=use_mmd)
         if mesh_g > 1:
-            train_step_fn = make_gp_train_step(
-                model, tx, mesh, graph_axis="graph",
-                data_axis="data" if mesh_d > 1 else None, **step_kw)
+            # owner-sharded graph parallelism: O(N/G) node state per shard,
+            # halo exchange, per-shard fused v5 kernels, reference MMD
+            # semantics on the gathered coordinates (owner_graph.py)
+            from fastegnn_tpu.parallel.owner_graph import (
+                OwnerBatchFactory,
+                iter_owner_sharded_batches,
+                make_owner_gp_train_step,
+            )
+
+            train_step_fn = make_owner_gp_train_step(
+                tx, mesh, axis="graph",
+                data_axis="data" if mesh_d > 1 else None,
+                n_layers=args.num_layer, gravity=gravity,
+                sigma=args.sigma, weight=args.weight, sample=args.sample,
+                use_mmd=use_mmd,
+                compute_dtype=args.compute_dtype,
+            )
+            factory = OwnerBatchFactory(mesh_g)
+
+            def batch_iter_fn(dataset, batch_size, rng=None):
+                return iter_owner_sharded_batches(
+                    dataset, batch_size, mesh, factory, data=mesh_d,
+                    rng=rng)
         else:
             train_step_fn = make_dp_train_step(
-                model, tx, mesh, axis="data", **step_kw)
+                model, tx, mesh, axis="data", sigma=args.sigma,
+                weight=args.weight, sample=args.sample,
+                per_graph_sampling=per_graph_sampling, use_mmd=use_mmd)
 
-        def batch_iter_fn(dataset, batch_size, rng=None):
-            return iter_sharded_batches(
-                dataset, batch_size, mesh, data=mesh_d, graph=mesh_g,
-                rng=rng)
+            def batch_iter_fn(dataset, batch_size, rng=None):
+                return iter_sharded_batches(
+                    dataset, batch_size, mesh, data=mesh_d, graph=1,
+                    rng=rng)
 
         print(f"mesh training: data={mesh_d} x graph={mesh_g} over "
               f"{mesh_d * mesh_g}/{n_dev} devices")

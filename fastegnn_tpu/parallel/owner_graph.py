@@ -101,8 +101,17 @@ def make_owner_sharded_batch(
     ek5_super: int = 8,
     ek5_dwin: int = 128,
     ek5_sblocks: int = 1,
+    el_capacity: Optional[int] = None,
+    halo_capacity: Optional[int] = None,
+    super_capacity: Optional[int] = None,
 ) -> OwnerShardedBatch:
-    """Host-side partitioner (numpy).  Node capacity must divide by G."""
+    """Host-side partitioner (numpy).  Node capacity must divide by G.
+
+    ``el_capacity`` / ``halo_capacity`` / ``super_capacity`` pin the
+    per-shard edge-slot, halo-row and v5-superchunk capacities so batches
+    with different edge distributions share one jitted step (see
+    :class:`OwnerBatchFactory`); ``None`` sizes each exactly to this batch.
+    """
     N = batch.num_nodes
     G = n_shards
     if N % G:
@@ -121,6 +130,11 @@ def make_owner_sharded_batch(
         foreign = real & (owner_e != j) & (src // Nl == j)
         send_sets.append(np.unique(src[foreign]))
     S = max([1] + [s.size for s in send_sets])
+    if halo_capacity is not None:
+        if S > halo_capacity:
+            raise ValueError(
+                f"halo size {S} exceeds capacity {halo_capacity}")
+        S = halo_capacity
     send_idx = np.zeros((G, S), np.int32)
     # global -> halo-slot lookup
     halo_pos = np.full(N, -1, np.int64)
@@ -130,6 +144,11 @@ def make_owner_sharded_batch(
 
     El = max(int((owner_e == i).sum()) for i in range(G))
     El = max(El, 1)
+    if el_capacity is not None:
+        if El > el_capacity:
+            raise ValueError(
+                f"per-shard edges {El} exceed capacity {el_capacity}")
+        El = el_capacity
     dst_l = np.full((G, El), Nl, np.int32)     # sentinel: out of local range
     src_l = np.zeros((G, El), np.int32)
     ea_l = np.zeros((G, El, ea.shape[1]), ea.dtype)
@@ -164,6 +183,12 @@ def make_owner_sharded_batch(
         ]
         n_blocks = metas[0].n_blocks
         max_super = max(m.n_super for m in metas)
+        if super_capacity is not None:
+            if max_super > super_capacity:
+                raise ValueError(
+                    f"v5 superchunks {max_super} exceed capacity "
+                    f"{super_capacity}")
+            max_super = super_capacity
         chunk = ek5_chunk
         # sentinel superchunks pad to the LAST dst superblock (every
         # superblock emits >= 1 superchunk, so max(sdb) is its id)
@@ -359,6 +384,7 @@ def make_owner_gp_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     axis: str = "graph",
+    data_axis: Optional[str] = None,
     n_layers: int = 4,
     gravity=None,
     sigma: float = 1.5,
@@ -369,20 +395,42 @@ def make_owner_gp_train_step(
 ) -> Callable:
     """Owner-sharded training step: MSE over owned rows (+ MMD on the
     all-gathered predicted coordinates — O(N*3) transient, not layer state);
-    parameter grads are exact via psum."""
+    parameter grads are exact via psum.
+
+    With ``data_axis`` the batch leaves carry a leading [D, G, ...] pair and
+    the step composes data parallelism (independent sub-batches, grads
+    psum-ed over both axes) with owner-sharded graph parallelism inside
+    each replica.
+
+    Distributed MMD semantics: each data replica evaluates the reference's
+    whole-batch MMD (``utils/train.py:111-165``) on ITS sub-batch — the
+    per-graph node sampling uses the replica's fold of the step key — and
+    the global MMD is the mean over replicas.  That equals the single-device
+    estimator in expectation (the sub-batch means average to the batch
+    mean); the sampled node SETS differ from a single-device run, so
+    nonzero-weight training matches single-device training in distribution,
+    not bitwise.  Within one replica the graph axis is exact (the gathered
+    coordinate set is identical on every graph shard)."""
 
     def local_step(state: TrainState, sb_stacked, key):
-        sb = jax.tree.map(lambda a: a[0], sb_stacked)
+        strip = 2 if data_axis is not None else 1
+        sb = jax.tree.map(lambda a: a[(0,) * strip], sb_stacked)
         G = sb.n_shards
+        all_axes = (data_axis, axis) if data_axis is not None else (axis,)
+        D = mesh.shape[data_axis] if data_axis is not None else 1
+        if data_axis is not None:
+            # decorrelate the MMD node sampling across data replicas
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         # global node count is parameter-free: compute outside the grad
         mloc = sb.node_mask.astype(jnp.float32)[:, None]
-        global_cnt = jax.lax.psum(jnp.sum(mloc) * 3.0, axis)
+        global_cnt = jax.lax.psum(jnp.sum(mloc) * 3.0, all_axes)
 
         def loss_fn(params):
             """LOCAL loss whose implicit sum over shards equals the global
             loss: psum(per-shard grads) is then the exact parameter gradient.
             Replicated compute (virtual chain, MMD on the gathered coords)
-            carries a 1/G weight per shard so it is not over-counted."""
+            carries a 1/G (and 1/D) weight per shard so it is not
+            over-counted."""
             x, vx = owner_sharded_fastegnn(
                 params, sb, axis=axis, n_layers=n_layers, gravity=gravity,
                 compute_dtype=compute_dtype,
@@ -407,15 +455,17 @@ def make_owner_gp_train_step(
                 )
                 mmd = mmd_loss(x_full, vx, fake, key, sigma, sample,
                                per_graph_sampling=True)
-                loss_local = loss_local + weight * mmd / G
+                loss_local = loss_local + weight * mmd / (G * D)
                 return loss_local, (local_se, mmd)
             return loss_local, (local_se, jnp.zeros(()))
 
         (_, (local_se, mmd)), grads = jax.value_and_grad(
             lambda pf: loss_fn(state.unravel(pf)), has_aux=True
         )(state.flat_params)
-        grads = jax.lax.psum(grads, axis)
-        mse = jax.lax.psum(local_se, axis) / jnp.maximum(global_cnt, 1.0)
+        grads = jax.lax.psum(grads, all_axes)
+        mse = jax.lax.psum(local_se, all_axes) / jnp.maximum(global_cnt, 1.0)
+        if data_axis is not None:
+            mmd = jax.lax.pmean(mmd, data_axis)
         total = mse + weight * mmd
         updates, opt_state = tx.update(grads, state.opt_state, state.flat_params)
         flat = optax.apply_updates(state.flat_params, updates)
@@ -425,10 +475,97 @@ def make_owner_gp_train_step(
             {"loss": total, "mse": mse, "mmd": mmd},
         )
 
+    batch_spec = P(data_axis, axis) if data_axis is not None else P(axis)
     fn = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(axis), P()),
+        in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))
+
+
+class OwnerBatchFactory:
+    """Capacity-stable owner-sharded batch producer for mesh training.
+
+    Per-shard edge counts, halo sizes and v5 superchunk counts vary batch to
+    batch; naively sizing each batch exactly would retrace the jitted step
+    every iteration.  The factory quantises capacities upward (edges to
+    1024, halo rows to 256, superchunks to 8) and remembers the running
+    maxima, so shapes stabilise after the first batch or two and the step
+    compiles a handful of times at most.
+    """
+
+    def __init__(self, n_shards: int, *, build_ek5: bool = True, **ek5_kw):
+        self.n_shards = n_shards
+        self.build_ek5 = build_ek5
+        self.ek5_kw = ek5_kw
+        self._el = 0
+        self._halo = 0
+        self._super = 0
+
+    @staticmethod
+    def _q(x: int, m: int) -> int:
+        return ((x + m - 1) // m) * m
+
+    def __call__(self, batch: GraphBatch) -> OwnerShardedBatch:
+        probe = make_owner_sharded_batch(
+            batch, self.n_shards, build_ek5=False)
+        self._el = max(self._el, self._q(probe.dst_local.shape[1], 1024))
+        self._halo = max(self._halo, self._q(probe.send_idx.shape[1], 256))
+        sb = make_owner_sharded_batch(
+            batch, self.n_shards, build_ek5=self.build_ek5,
+            el_capacity=self._el, halo_capacity=self._halo,
+            super_capacity=self._super or None, **self.ek5_kw)
+        if sb.ek5_sdb is not None and sb.ek5_sdb.shape[1] > self._super:
+            self._super = self._q(sb.ek5_sdb.shape[1], 8)
+            sb = make_owner_sharded_batch(
+                batch, self.n_shards, build_ek5=self.build_ek5,
+                el_capacity=self._el, halo_capacity=self._halo,
+                super_capacity=self._super, **self.ek5_kw)
+        return sb
+
+
+def iter_owner_sharded_batches(
+    dataset,
+    batch_size: int,
+    mesh: Mesh,
+    factory: OwnerBatchFactory,
+    *,
+    data: int = 1,
+    graph_axis: str = "graph",
+    data_axis: str = "data",
+    rng=None,
+    drop_last: bool = True,
+):
+    """Yield mesh-placed OwnerShardedBatch pytrees ([D?, G, ...] leaves).
+
+    Mirrors ``sharded_batches.iter_sharded_batches`` semantics (shuffle +
+    drop_last global batches of ``batch_size`` graphs; the data axis splits
+    each global batch into D contiguous sub-batches).
+    """
+    from jax.sharding import NamedSharding
+
+    order = np.arange(len(dataset))
+    if rng is not None:
+        rng.shuffle(order)
+    n = len(order)
+    end = n - (n % batch_size) if drop_last else n
+    spec = P(data_axis, graph_axis) if data > 1 else P(graph_axis)
+    sharding = NamedSharding(mesh, spec)
+    for lo in range(0, end, batch_size):
+        idx = order[lo:lo + batch_size]
+        per = batch_size // data
+        subs = [
+            factory(dataset.collate(list(idx[d * per:(d + 1) * per])))
+            for d in range(data)
+        ]
+        stacked = (
+            jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+            if data > 1 else subs[0]
+        )
+        yield jax.tree.map(
+            lambda x: jax.device_put(x, sharding) if hasattr(x, "shape")
+            else x,
+            stacked,
+        )

@@ -85,7 +85,7 @@ def main():
                 h, x, meta, *w, compute_dtype=jnp.bfloat16)
             return jnp.sum(ms) + jnp.sum(ts)
 
-        g = jax.jit(jax.grad(loss, argnums=(0, 1) + tuple(range(2, 11))))
+        g = jax.jit(jax.grad(loss, argnums=tuple(range(9))))
         try:
             timed("  bwd-only (fwd DCEd)", lambda: g(h_d, x_d, *ws))
         except Exception as e:
