@@ -155,8 +155,11 @@ def build_batch(n_nodes=8000, degree=60, n_graphs=1, channels=3, seed=0):
     cfg = os.environ.get("FASTEGNN_BENCH_EK5", "")
     kw = {}
     if cfg:
-        c_, w_, g_, d_ = (int(v) for v in cfg.split(","))
+        vals = [int(v) for v in cfg.split(",")]
+        c_, w_, g_, d_ = vals[:4]
         kw = dict(ek5_chunk=c_, ek5_window=w_, ek5_super=g_, ek5_dwin=d_)
+        if len(vals) > 4:
+            kw["ek5_sblocks"] = vals[4]
     return batch_graphs(graphs, spec, **kw), n_real_edges, stats
 
 

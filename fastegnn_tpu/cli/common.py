@@ -197,7 +197,7 @@ def run_training(args, dataset_train, dataset_valid, dataset_test,
                 data_axis="data" if mesh_d > 1 else None,
                 n_layers=args.num_layer, gravity=gravity,
                 sigma=args.sigma, weight=args.weight, sample=args.sample,
-                use_mmd=use_mmd,
+                per_graph_sampling=per_graph_sampling, use_mmd=use_mmd,
                 compute_dtype=args.compute_dtype,
             )
             factory = OwnerBatchFactory(mesh_g)

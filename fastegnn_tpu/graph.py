@@ -249,6 +249,7 @@ def batch_graphs(
     ek5_window: int = 1,
     ek5_super: int = 16,
     ek5_dwin: int = 64,
+    ek5_sblocks: int = 1,
 ) -> GraphBatch:
     """Concatenate padded single graphs into one packed ``GraphBatch``.
 
@@ -338,6 +339,7 @@ def batch_graphs(
             ek5 = make_v5_meta(
                 dst, src, edge_attr, edge_mask, total_nodes,
                 chunk=ek5_chunk, W=ek5_window, G=ek5_super, D=ek5_dwin,
+                S=ek5_sblocks,
             )
         elif total_nodes <= EK3_MAX_NODES and edge_attr.shape[1] <= 3:
             ek3 = make_v3_meta(

@@ -390,6 +390,7 @@ def make_owner_gp_train_step(
     sigma: float = 1.5,
     weight: float = 0.01,
     sample: int = 3,
+    per_graph_sampling: bool = False,
     use_mmd: bool = True,
     compute_dtype=jnp.float32,
 ) -> Callable:
@@ -454,7 +455,7 @@ def make_owner_gp_train_step(
                     n_graphs=sb.n_graphs,
                 )
                 mmd = mmd_loss(x_full, vx, fake, key, sigma, sample,
-                               per_graph_sampling=True)
+                               per_graph_sampling=per_graph_sampling)
                 loss_local = loss_local + weight * mmd / (G * D)
                 return loss_local, (local_se, mmd)
             return loss_local, (local_se, jnp.zeros(()))
