@@ -242,14 +242,15 @@ def batch_graphs(
     build_csr: bool = True,
     edge_align: int = 1024,
     csr_rows: int = 128,
-    # v5 packing defaults from the round-3 on-chip sweep (scripts/r3_sweep.py,
-    # Water-3D bench geometry): c128/W1/G16/D64 measured 0.76 ms fwd /
-    # 1.69 ms fwd+bwd per layer vs 0.89/1.94 for the old c256/W2/G8/D128
+    # v5 packing defaults from the on-chip sweeps (scripts/r3_sweep.py,
+    # scripts/r4_sblock_time.py, Water-3D bench geometry): c128/W1/G16/D64
+    # with S=8 dst superblocks — S8 cuts slot padding 19.3% -> 9.8% at zero
+    # per-slot cost (train step 12.25 -> 11.18 ms, round-4 measurement)
     ek5_chunk: int = 128,
     ek5_window: int = 1,
     ek5_super: int = 16,
     ek5_dwin: int = 64,
-    ek5_sblocks: int = 1,
+    ek5_sblocks: int = 8,
 ) -> GraphBatch:
     """Concatenate padded single graphs into one packed ``GraphBatch``.
 
