@@ -163,22 +163,66 @@ def build_batch(n_nodes=8000, degree=60, n_graphs=1, channels=3, seed=0):
     return batch_graphs(graphs, spec, **kw), n_real_edges, stats
 
 
-def sol_step_time(n_edges, n_nodes, n_graphs, hidden=64, channels=3, layers=4):
-    """Roofline speed-of-light estimate for the fused train step (seconds)."""
+def _nonedge_flops(n_nodes, hidden, channels, layers):
+    """fwd+bwd FLOPs of the dense (virtual/node/velocity) MLPs."""
     H, C = hidden, channels
-    # forward FLOPs per layer (MACs * 2)
-    edge_mlp = n_edges * ((2 * H + 3) * H + H * H) * 2
-    coord_gate = n_edges * (H * H + H) * 2
     virt_mlp = n_nodes * C * ((2 * H + 1 + C) * H + H * H) * 2
     virt_gates = 3 * n_nodes * C * (H * H + H) * 2
     node_mlp = n_nodes * ((2 * H + C * H) * H + H * H) * 2
     vel_mlp = n_nodes * (H * H + H) * 2
-    flops_fwd = edge_mlp + coord_gate + virt_mlp + virt_gates + node_mlp + vel_mlp
-    flops_total = layers * flops_fwd * 3  # bwd ~ 2x fwd
-    # Memory: with node tables resident in VMEM (8k x 64 fp32 = 2 MB) and
-    # perfect fusion, the unavoidable HBM traffic is the edge-message stream
-    # saved for backward (write fwd + read bwd) — everything else is on-chip.
+    return layers * (virt_mlp + virt_gates + node_mlp + vel_mlp) * 3
+
+
+def sol_step_time(n_edges, n_nodes, n_graphs, hidden=64, channels=3, layers=4):
+    """MLP-only roofline: useful MLP FLOPs at peak bf16 MXU, fwd+bwd = 3x fwd,
+    vs minimal HBM residual traffic.  This prices gather/scatter at ZERO —
+    a bound no TPU implementation can reach (the hardware has no gather at
+    MXU rate); kept as the continuity metric (``sol_mlp_ms``)."""
+    H = hidden
+    edge_mlp = n_edges * ((2 * H + 3) * H + H * H) * 2
+    coord_gate = n_edges * (H * H + H) * 2
+    flops_total = layers * (edge_mlp + coord_gate) * 3 + _nonedge_flops(
+        n_nodes, hidden, channels, layers)
     bytes_total = layers * n_edges * (2 * H) * 4
+    return max(flops_total / PEAK_BF16_FLOPS, bytes_total / PEAK_HBM_BW)
+
+
+def sol_machinery_time(n_edges, n_nodes, n_graphs, hidden=64, channels=3,
+                       layers=4, D=64, W=1):
+    """Machinery-aware speed of light for the gather-MLP-scatter train step.
+
+    TPU has no hardware gather/scatter at compute rate: the fastest known
+    mechanism for per-edge gather/scatter of H-wide rows is the one-hot MXU
+    matmul (dst window D rows, src window W*128 rows — the measured-optimal
+    window sizes; see docs/PERF.md round-4 entry for the derivation and the
+    sweep that fixed D/W).  This roofline counts the mandatory MXU MACs of
+    that formulation with IDEAL execution: zero slot padding, 100% MXU
+    utilisation, free VPU/transcendentals, free scheduling.  Every term is
+    a per-edge MAC count an implementation of this algorithm class must
+    execute; measured-vs-sol therefore isolates implementation losses
+    (padding, small-dot efficiency, VPU serialisation, DMA floors).
+
+    Per edge per layer (H=64; one MAC = 2 FLOPs):
+      fwd: dst one-hot gather D*128 + src one-hot gather W*128*128
+           (these FOLD the useful first edge-MLP layer: the gathered table
+           rows are pre-multiplied h W1 + b1) + edge-attr fold 6*128
+           + chain dots 2*H*H (W2, Wg1) + dst one-hot scatter D*128
+      bwd: the same gathers again (recompute), the upstream-grad gather
+           D*128, transposed chain dots 2*H*H, weight-grad dots
+           2*H*H + 6*128 + 128, dst scatter D*128, src scatter W*128*128.
+    """
+    H = hidden
+    g_dst, g_src, g_ea = D * 128, W * 128 * 128, 6 * 128
+    chain = 2 * H * H
+    fwd = g_dst + g_src + g_ea + chain + g_dst
+    bwd = (g_dst + g_src + g_ea) + g_dst + chain + chain + (g_ea + 128) \
+        + g_dst + g_src
+    edge_flops = layers * n_edges * (fwd + bwd) * 2
+    flops_total = edge_flops + _nonedge_flops(n_nodes, hidden, channels,
+                                              layers)
+    # mandatory HBM: the slot stream (8 i32 rows/edge, read in fwd AND bwd)
+    # + the fwd/bwd node-table builds (read h, write [N, 256] cd)
+    bytes_total = layers * (n_edges * 8 * 4 * 2 + n_nodes * 256 * 2 * 2)
     return max(flops_total / PEAK_BF16_FLOPS, bytes_total / PEAK_HBM_BW)
 
 
@@ -243,7 +287,12 @@ def main():
 
     n_pad_edges = batch.num_edges
     edges_per_s = n_pad_edges * LAYERS / dt
-    sol = sol_step_time(n_pad_edges, N_NODES, 1, HIDDEN, C, LAYERS)
+    # headline roofline: machinery-aware (one-hot gather/scatter priced at
+    # MXU rate with ideal packing — see sol_machinery_time docstring and
+    # docs/PERF.md); sol_mlp is the old gather-free bound, kept for
+    # continuity with BENCH_r01..r03
+    sol_mlp = sol_step_time(n_pad_edges, N_NODES, 1, HIDDEN, C, LAYERS)
+    sol = sol_machinery_time(n_real_edges, N_NODES, 1, HIDDEN, C, LAYERS)
     print(
         json.dumps(
             {
@@ -255,6 +304,8 @@ def main():
                     "step_ms": round(dt * 1e3, 3),
                     "fwd_fused_ms": round(fwd_ms, 3),
                     "sol_ms": round(sol * 1e3, 3),
+                    "sol_mlp_ms": round(sol_mlp * 1e3, 3),
+                    "vs_mlp_roofline": round(sol_mlp / dt, 4),
                     "nodes": N_NODES,
                     "edges_padded": n_pad_edges,
                     "edges_real": n_real_edges,
