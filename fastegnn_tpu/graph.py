@@ -38,17 +38,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from fastegnn_tpu.ops.edge_kernel import EdgeKernelMeta, make_edge_kernel_meta
-from fastegnn_tpu.ops.edge_kernel_v3 import EdgeKernelV3Meta, make_v3_meta
 from fastegnn_tpu.ops.edge_kernel_v5 import EdgeKernelV5Meta, make_v5_meta
 from fastegnn_tpu.ops.spmm import CSRMeta, make_csr_meta
 
-# v3 edge kernel holds the whole [node_capacity, 128] table (+ its backward
-# accumulator) resident in VMEM (~16 MB/core); beyond this many padded nodes
-# the batcher skips the v3 meta and models fall back to the v2 streaming path
-EK3_MAX_NODES = 16384
 # v5 keeps a [Npad, 256] node table + a resident [Npad, 128] f32 src-grad
-# accumulator in VMEM (~1.5 KB/node): bound it to ~12k nodes of the 16 MB
+# accumulator in VMEM (~1.5 KB/node): bound one kernel call to ~12k nodes of
+# the 16 MB.  Larger batches of smaller graphs split into GRAPH GROUPS, one
+# kernel call per <=12k-node run of whole graphs (edges never cross graphs),
+# so the fused path covers e.g. Water-3D's 20 x 8k-node production batches.
 EK5_MAX_NODES = 12288
 
 
@@ -89,14 +86,15 @@ class GraphBatch:
     csr_src: Optional[CSRMeta] = None       # CSR blocks over src-sorted edges
     src_perm: Optional[jax.Array] = None    # [E] permutation sorting by src
     src_sorted: Optional[jax.Array] = None  # [E] = src[src_perm]
-    # --- fused edge-kernel slot layout (ops/edge_kernel.py v2) ---
-    ek: Optional[EdgeKernelMeta] = None
-    # --- window-tiled slot layout (ops/edge_kernel_v3.py; node table and
-    # backward scatter fully in-kernel) ---
-    ek3: Optional[EdgeKernelV3Meta] = None
-    # --- feature-major slot layout (ops/edge_kernel_v5.py; preferred:
-    # measured ~2.9x faster fwd+bwd than v3 at Water-3D geometry) ---
+    # --- feature-major fused-kernel slot layout (ops/edge_kernel_v5.py);
+    # one meta when total capacity fits a single kernel call ---
     ek5: Optional["EdgeKernelV5Meta"] = None
+    # --- graph-group metas for batches too big for one call: a tuple of
+    # per-group metas; ek5_group_rows holds the STATIC (row0, rows) node
+    # ranges (groups tile the node table, edges never cross groups) ---
+    ek5_groups: Optional[tuple] = None
+    ek5_group_rows: Optional[tuple] = struct.field(
+        pytree_node=False, default=None)
     # --- static metadata ---
     n_graphs: int = struct.field(pytree_node=False, default=1)
 
@@ -334,27 +332,33 @@ def batch_graphs(
     )[:total_nodes].astype(np.float32)
 
     csr_dst = csr_src = src_perm = src_sorted = None
-    ek = ek3 = ek5 = None
+    ek5 = ek5_groups = ek5_group_rows = None
     if build_csr and sort_edges:
+        ek5_kw = dict(chunk=ek5_chunk, W=ek5_window, G=ek5_super,
+                      D=ek5_dwin, S=ek5_sblocks)
         if total_nodes <= EK5_MAX_NODES and edge_attr.shape[1] <= 3:
             ek5 = make_v5_meta(
-                dst, src, edge_attr, edge_mask, total_nodes,
-                chunk=ek5_chunk, W=ek5_window, G=ek5_super, D=ek5_dwin,
-                S=ek5_sblocks,
-            )
-        elif total_nodes <= EK3_MAX_NODES and edge_attr.shape[1] <= 3:
-            ek3 = make_v3_meta(
-                dst, src, edge_attr, edge_mask, total_nodes,
-                chunk=512, W=4,
-            )
-        if ek5 is None:
-            # CSR gather/scatter + v2 slot metas: only the non-v5 paths use
-            # them (the model falls back to plain takes when absent), and
-            # they cost ~200 ms/batch of argsorts at Water-3D scale
-            ek = make_edge_kernel_meta(
-                dst, src, edge_attr, edge_mask, total_nodes,
-                rows=csr_rows, chunk=edge_align,
-            )
+                dst, src, edge_attr, edge_mask, total_nodes, **ek5_kw)
+        elif spec.max_nodes <= EK5_MAX_NODES and edge_attr.shape[1] <= 3:
+            # graph groups: runs of whole graphs, each <= EK5_MAX_NODES
+            # node rows; one fused kernel call per group (edges are always
+            # intra-graph, so groups partition the edge set exactly)
+            gper = max(EK5_MAX_NODES // spec.max_nodes, 1)
+            groups, rows_list = [], []
+            for g0 in range(0, b, gper):
+                row0 = g0 * spec.max_nodes
+                rows = min(gper, b - g0) * spec.max_nodes
+                sel = edge_mask & (dst >= row0) & (dst < row0 + rows)
+                groups.append(make_v5_meta(
+                    dst[sel] - row0, src[sel] - row0, edge_attr[sel],
+                    np.ones(int(sel.sum()), bool), rows, **ek5_kw))
+                rows_list.append((row0, rows))
+            ek5_groups = tuple(groups)
+            ek5_group_rows = tuple(rows_list)
+        if ek5 is None and ek5_groups is None:
+            # Pallas-CSR gather/scatter: the fallback for single graphs
+            # beyond the v5 VMEM envelope and for layer variants the fused
+            # kernel doesn't cover (attention/normalize/tanh, hidden != 64)
             csr_dst = make_csr_meta(dst, total_nodes, rows=csr_rows,
                                     chunk=edge_align)
             perm = np.argsort(
@@ -425,8 +429,8 @@ def batch_graphs(
         csr_src=csr_src,
         src_perm=src_perm,
         src_sorted=src_sorted,
-        ek=ek,
-        ek3=ek3,
         ek5=ek5,
+        ek5_groups=ek5_groups,
+        ek5_group_rows=ek5_group_rows,
         n_graphs=b,
     )

@@ -205,8 +205,7 @@ class EGCLVel(fnn.Module):
             else jax.default_backend() == "tpu"
         )
         use_fused = (
-            (graph.ek is not None or graph.ek3 is not None
-             or graph.ek5 is not None)
+            (graph.ek5 is not None or graph.ek5_groups is not None)
             and fuse
             and H == 64
             and graph.edge_attr.shape[1] <= 3
@@ -217,30 +216,28 @@ class EGCLVel(fnn.Module):
             and ax is None   # sharded layers keep the CSR path for now
         )
         if use_fused:
-            if graph.ek5 is not None:
-                # v5: feature-major chain, streamed dst blocks (fastest)
-                from fastegnn_tpu.ops.edge_kernel_v5 import fused_edge_block_v5
+            from fastegnn_tpu.ops.edge_kernel_v5 import fused_edge_block_v5
 
+            if graph.ek5 is not None:
                 m_sum, trans_sum = fused_edge_block_v5(
                     h, x, graph.ek5, W1, b1, W2, b2, Wg1, bg1, wg2,
                     compute_dtype=cd,
                 )
-            elif graph.ek3 is not None:
-                # v3: slot-major window-tiled kernel
-                from fastegnn_tpu.ops.edge_kernel_v3 import fused_edge_block_v3
-
-                m_sum, trans_sum = fused_edge_block_v3(
-                    h, x, graph.ek3, W1, b1, W2, b2, Wg1, bg1, wg2,
-                    compute_dtype=cd,
-                )
             else:
-                from fastegnn_tpu.ops.edge_kernel import fused_edge_block_v2
-
-                m_sum, trans_sum = fused_edge_block_v2(
-                    h, x, graph.ek, W1, b1, W2, b2, Wg1, bg1, wg2,
-                    compute_dtype=cd,
-                    grad_stream_dtype=cd,
-                )
+                # graph groups: one kernel call per <=12k-node run of whole
+                # graphs (edges never cross graphs); static row slices
+                parts = [
+                    fused_edge_block_v5(
+                        jax.lax.slice_in_dim(h, r0, r0 + rr),
+                        jax.lax.slice_in_dim(x, r0, r0 + rr),
+                        m, W1, b1, W2, b2, Wg1, bg1, wg2,
+                        compute_dtype=cd,
+                    )
+                    for (r0, rr), m in zip(
+                        graph.ek5_group_rows, graph.ek5_groups)
+                ]
+                m_sum = jnp.concatenate([p[0] for p in parts], axis=0)
+                trans_sum = jnp.concatenate([p[1] for p in parts], axis=0)
             if graph.dst_count is not None:
                 cnt = graph.dst_count
             else:

@@ -58,8 +58,6 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fastegnn_tpu.ops.edge_kernel_v3 import _silu_f32, _dsilu, _hi_lo
-
 H_MAX = 64
 ROWS = 128
 EA_ROWS = 6
@@ -67,6 +65,40 @@ EA_ROWS = 6
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _silu_f32(z):
+    # The sigmoid itself always runs in f32: Mosaic's logistic lowering
+    # broadcasts an f32 scalar into the result vector, which fails to
+    # verify when z is bf16 (vector.broadcast f32 -> bf16).  Storage of
+    # the returned s/activation stays in z.dtype, so the bf16 chain keeps
+    # its VPU-traffic savings; for f32 inputs this is a bit-exact no-op.
+    #
+    # bf16 path: sigmoid(x) = 0.5*(1 + tanh(x/2)) — Mosaic lowers tanh to a
+    # single hardware transcendental while the logistic goes through
+    # exp + divide; measured ~20% off the whole fwd kernel at the bench
+    # geometry (scripts/r3_klab.py "tanhsig").  The two forms differ by
+    # ~1 ulp f32, far below bf16 storage rounding.  f32 inputs keep the
+    # exact logistic (bit-exact vs the XLA composition for parity tests).
+    zf = z.astype(jnp.float32)
+    if z.dtype == jnp.bfloat16:
+        s = 0.5 + 0.5 * jnp.tanh(0.5 * zf)
+    else:
+        s = jax.nn.sigmoid(zf)
+    s = s.astype(z.dtype)
+    return z * s, s
+
+
+def _dsilu(z, s):
+    return s * (1.0 + z * (1.0 - s))
+
+
+def _hi_lo(v, cd):
+    """Split an f32 value into (hi, lo) in compute dtype; exact when cd is
+    f32 (lo = 0) and a 2^-16-relative split when cd is bf16."""
+    hi = v.astype(cd)
+    lo = (v - hi.astype(jnp.float32)).astype(cd)
+    return hi, lo
 
 
 @struct.dataclass
@@ -606,7 +638,7 @@ def fused_edge_block_v5(
 
     Differentiable in (h, x, weights); Pallas forward AND backward with
     in-kernel gather/scatter on both endpoints.  Same contract as
-    ``fused_edge_block_v3`` (reference math: ``models/FastEGNN.py:102-133``).
+    the unfused composition (reference math: ``models/FastEGNN.py:102-133``).
     """
     N, H = h.shape
     assert H == H_MAX, "edge kernel v5 assumes hidden == 64"

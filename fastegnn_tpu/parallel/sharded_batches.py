@@ -35,7 +35,8 @@ from fastegnn_tpu.parallel.graph_parallel import shard_graph_batch
 
 
 def _strip_slot_metas(batch: GraphBatch) -> GraphBatch:
-    return dataclasses.replace(batch, ek=None, ek3=None, ek5=None)
+    return dataclasses.replace(
+        batch, ek5=None, ek5_groups=None, ek5_group_rows=None)
 
 
 def shard_batch(

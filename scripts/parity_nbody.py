@@ -135,6 +135,11 @@ def run_torch(epochs: int, out_json: str):
                         "loss_train": lt}
             print(f"ep {ep}: train {lt:.6f} valid {lv:.6f} test {lte:.6f} "
                   f"(best test {best['loss_test']:.6f})", flush=True)
+            # rewrite the log every eval (reference utils/train.py:220-223
+            # does this per epoch) so long CPU runs are inspectable/killable
+            best["time_cost"] = time.perf_counter() - t0
+            with open(out_json, "w") as f:
+                json.dump([best, log], f, indent=2)
             if ep - best["epoch_index"] >= HP["early_stop"]:
                 break
     best["time_cost"] = time.perf_counter() - t0

@@ -41,9 +41,6 @@ _SLOW = {
     "tests/test_torch_parity.py::test_eghn_parity",
     "tests/test_torch_parity.py::test_gvpnet_parity",
     "tests/test_torch_parity.py::test_dimenet_parity",
-    "tests/test_edge_kernel.py::test_fastegnn_fused_matches_unfused",
-    "tests/test_edge_kernel.py::test_grads_match_unfused",
-    "tests/test_edge_kernel_v3.py::test_gradients_match_unfused",
     "tests/test_cli.py::test_cli_nbody",
     "tests/test_cli.py::test_cli_protein",
     "tests/test_cli.py::test_cli_simulation",

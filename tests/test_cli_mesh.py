@@ -49,7 +49,7 @@ def test_sharded_batch_shapes(nbody_data):
     # leaves [D, G, ...]; edge arrays partitioned, node arrays replicated
     assert b.dst.shape[0] == 2 and b.dst.shape[1] == 2
     assert b.coord.shape[:2] == (2, 2)
-    assert b.ek5 is None and b.ek is None and b.ek3 is None
+    assert b.ek5 is None and b.ek5_groups is None
     np.testing.assert_array_equal(
         np.asarray(b.coord[0, 0]), np.asarray(b.coord[0, 1]))
 

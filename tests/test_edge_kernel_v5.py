@@ -1,7 +1,7 @@
 """v5 feature-major fused edge kernel vs the unfused composition (CPU
 interpret mode).
 
-Same contract as the v3 kernel (reference ``models/FastEGNN.py:102-133``,
+Reference math (reference ``models/FastEGNN.py:102-133``,
 180-189): per-edge 2-layer silu MLP, scalar gate, per-destination sums of
 messages and gated coordinate differences — gather AND scatter in-kernel,
 chain computed feature-major, dst blocks streamed per superchunk.
@@ -14,7 +14,7 @@ import pytest
 
 from fastegnn_tpu.ops.edge_kernel_v5 import fused_edge_block_v5, make_v5_meta
 
-from test_edge_kernel_v3 import _ref_edge_block, _setup
+from helpers import _ref_edge_block, _setup
 
 H = 64
 
@@ -142,3 +142,50 @@ def test_bf16_gradients_finite_and_close():
         assert np.isfinite(np.asarray(a, np.float32)).all()
         scale = float(jnp.max(jnp.abs(b))) + 1e-9
         assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))) < 3e-2 * scale
+
+
+def test_graph_groups_match_single_meta():
+    """Batches beyond EK5_MAX_NODES split into per-graph-group kernel calls
+    whose concatenated output equals the monolithic composition."""
+    import fastegnn_tpu.graph as gmod
+    from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
+
+    rng = np.random.default_rng(3)
+    spec = GraphSpec(max_nodes=64, max_edges=512, n_graphs=6,
+                     edge_attr_dim=2, virtual_channels=3)
+    graphs = []
+    for g in range(6):
+        n = 50 + g
+        e = 300
+        dst = rng.integers(0, n, e)
+        src = rng.integers(0, n, e)
+        graphs.append(pad_graph(
+            spec,
+            node_feat=rng.normal(size=(n, 2)).astype(np.float32),
+            coord=rng.normal(size=(n, 3)).astype(np.float32),
+            vel=rng.normal(size=(n, 3)).astype(np.float32),
+            dst=dst, src=src,
+            edge_attr=rng.normal(size=(e, 2)).astype(np.float32),
+            coord_target=rng.normal(size=(n, 3)).astype(np.float32),
+        ))
+    old = gmod.EK5_MAX_NODES
+    gmod.EK5_MAX_NODES = 128   # force grouping: 2 graphs (128 rows) per group
+    try:
+        b = batch_graphs(graphs, spec, ek5_sblocks=1)
+    finally:
+        gmod.EK5_MAX_NODES = old
+    assert b.ek5 is None and b.ek5_groups is not None
+    assert len(b.ek5_groups) == 3 and b.ek5_group_rows == (
+        (0, 128), (128, 128), (256, 128))
+    w = _setup()[5]
+    h = jnp.asarray(rng.normal(size=(b.num_nodes, H)), jnp.float32)
+    parts = [
+        fused_edge_block_v5(h[r0:r0 + rr], b.coord[r0:r0 + rr], m, *w)
+        for (r0, rr), m in zip(b.ek5_group_rows, b.ek5_groups)
+    ]
+    ms = jnp.concatenate([p[0] for p in parts])
+    ts = jnp.concatenate([p[1] for p in parts])
+    ms_r, ts_r = _ref_edge_block(
+        h, b.coord, b.dst, b.src, b.edge_attr, *w)
+    np.testing.assert_allclose(ms, ms_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(ts, ts_r, rtol=2e-5, atol=2e-5)
