@@ -24,13 +24,14 @@ from jax.experimental.pallas import tpu as pltpu
 from bench import build_batch
 from fastegnn_tpu.ops.edge_kernel_v5 import (
     H_MAX, ROWS, _chain_fwd, _chain_bwd, _gather, _fwd_impl,
-    build_tab_v5, pack_w_v5,
+    build_tab_v5, pack_w_v5, _hi_lo,
 )
-from fastegnn_tpu.ops.edge_kernel_v3 import _hi_lo
+from fastegnn_tpu.ops.edge_kernel_v5 import _hi_lo
 
 
 def make_bwd(meta, n_seg_pad, cd, variant):
-    chunk, W, G, D = meta.chunk, meta.W, meta.G, meta.D
+    chunk, W, G, D, S = (meta.chunk, meta.W, meta.G, meta.D,
+                         meta.S)
     n_super = meta.sdb.shape[0]
     H = H_MAX
 
@@ -55,7 +56,7 @@ def make_bwd(meta, n_seg_pad, cd, variant):
             cg = c * G + g
             blk = idsx_ref[:, g * chunk:(g + 1) * chunk]
             f = _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c,
-                        cg, W, D, cd)
+                        cg, W, D, S, cd)
             gs.append(f)
             if variant == "nodst":
                 des.append(jnp.zeros((128, chunk), jnp.float32)
@@ -139,11 +140,11 @@ def make_bwd(meta, n_seg_pad, cd, variant):
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec((8, G * chunk),
                                  lambda c, sdb, w0, dw0: (0, c)),
-                    pl.BlockSpec((ROWS, 128),
+                    pl.BlockSpec((S * ROWS, 128),
                                  lambda c, sdb, w0, dw0: (sdb[c], 0)),
                 ],
                 out_specs=(
-                    pl.BlockSpec((ROWS, 128),
+                    pl.BlockSpec((S * ROWS, 128),
                                  lambda c, sdb, w0, dw0: (sdb[c], 0)),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -168,7 +169,9 @@ def main():
           f"slots={meta.n_slots} super={meta.n_super} "
           f"pad={1 - n_real / meta.n_slots:.1%}", flush=True)
     N = batch.coord.shape[0]
-    n_seg_pad = max(((N + ROWS - 1) // ROWS) * ROWS, meta.W * ROWS)
+    n_seg_pad = max(
+        ((N + meta.S * ROWS - 1) // (meta.S * ROWS)) * meta.S * ROWS,
+        meta.W * ROWS)
     cd = jnp.bfloat16
     H = H_MAX
 

@@ -27,11 +27,12 @@ import fastegnn_tpu.ops.edge_kernel_v5 as ek5
 from fastegnn_tpu.ops.edge_kernel_v5 import (
     H_MAX, ROWS, _chain_fwd, build_tab_v5, pack_w_v5,
 )
-from fastegnn_tpu.ops.edge_kernel_v3 import _hi_lo, _silu_f32
+from fastegnn_tpu.ops.edge_kernel_v5 import _hi_lo, _silu_f32
 
 
 def make_fwd(meta, n_seg_pad, cd, variant):
-    chunk, W, G, D = meta.chunk, meta.W, meta.G, meta.D
+    chunk, W, G, D, S = (meta.chunk, meta.W, meta.G, meta.D,
+                         meta.S)
     n_super = meta.sdb.shape[0]
 
     def gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg):
@@ -150,7 +151,7 @@ def make_fwd(meta, n_seg_pad, cd, variant):
                                  lambda c, sdb, w0, dw0: (0, c)),
                 ],
                 out_specs=pl.BlockSpec(
-                    (ROWS, 128), lambda c, sdb, w0, dw0: (sdb[c], 0)),
+                    (S * ROWS, 128), lambda c, sdb, w0, dw0: (sdb[c], 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
         )(meta.sdb, meta.w0, meta.dw0, wp, eW, vpc, tab, idsx)
@@ -167,7 +168,9 @@ def main():
           f"n_slots={meta.n_slots} n_super={meta.n_super} "
           f"pad={1 - n_real / meta.n_slots:.1%}", flush=True)
     N = batch.coord.shape[0]
-    n_seg_pad = max(((N + ROWS - 1) // ROWS) * ROWS, meta.W * ROWS)
+    n_seg_pad = max(
+        ((N + meta.S * ROWS - 1) // (meta.S * ROWS)) * meta.S * ROWS,
+        meta.W * ROWS)
     cd = jnp.bfloat16
     H = H_MAX
 

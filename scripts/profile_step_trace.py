@@ -18,7 +18,7 @@ from bench import build_batch
 from fastegnn_tpu.models import FastEGNN
 from fastegnn_tpu.train import TrainState, torch_adam
 from fastegnn_tpu.train.step import make_train_step
-from r4_profile_chain import parse_trace
+from profile_trace import parse_trace
 
 
 def main():
