@@ -306,10 +306,32 @@ def _build_shims():
     typing_mod.OptTensor = object  # typing alias only
     typing_mod.SparseTensor = SparseTensor
 
+    # minimal Data record + pool submodule: enough for the reference
+    # DATASET classes (datasets/simulation/dataset.py:11-12 imports Data and
+    # radius_graph from torch_geometric.nn.pool)
+    class Data:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+        def to(self, device):
+            return self
+
+        def __repr__(self):
+            ks = ", ".join(sorted(self.__dict__))
+            return f"ShimData({ks})"
+
+    data_mod = types.ModuleType("torch_geometric.data")
+    data_mod.Data = Data
+
+    pool_mod = types.ModuleType("torch_geometric.nn.pool")
+    pool_mod.radius_graph = radius_graph
+    nn_mod.pool = pool_mod
+
     pyg = types.ModuleType("torch_geometric")
     pyg.nn = nn_mod
     pyg.typing = typing_mod
     pyg.utils = utils_mod
+    pyg.data = data_mod
 
     return {
         "torch_scatter": torch_scatter,
@@ -320,6 +342,8 @@ def _build_shims():
         "torch_geometric.nn.inits": inits_mod,
         "torch_geometric.nn.models": models_mod,
         "torch_geometric.nn.models.dimenet_utils": dimenet_utils_mod,
+        "torch_geometric.nn.pool": pool_mod,
+        "torch_geometric.data": data_mod,
         "torch_geometric.utils": utils_mod,
         "torch_geometric.typing": typing_mod,
     }
