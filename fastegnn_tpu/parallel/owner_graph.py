@@ -11,14 +11,15 @@ all-to-all each layer"):
 - each edge lives on the shard that owns its ``dst`` (dst-sorted edges make
   these contiguous ranges), so per-destination aggregation is local and
   exact — no reduce-scatter at all;
-- per layer, each shard sends the (host-precomputed, static) set of its
-  owned rows that other shards reference as ``src`` — the *boundary set* —
-  via one ``all_gather`` of ``[S, H+3]`` halo blocks; edge gathers index a
-  ``[N/G + G*S, .]`` local table.  Comm per layer is O(S*(H+3)) with
-  S = max boundary size, not O(N*H);
+- per layer, each shard sends every OTHER shard the (host-precomputed,
+  static) set of its owned rows that THAT shard references as ``src`` — the
+  targeted per-pair boundary sets — via one ``all_to_all`` of ``[G, S, H+3]``
+  blocks; edge gathers index a ``[N/G + G*S, .]`` local table.  Comm per
+  layer is O(boundary-pairs * (H+3)), not O(N*H) (replication) and not
+  O(G*S) per device (the earlier broadcast all_gather);
 - per-graph pools (virtual-node machinery, Gram/coordinate means) are
   partial sums combined with ``psum`` — exact;
-- on the segment-op path, XLA's async collectives let the halo all_gather
+- on the segment-op path, XLA's async collectives let the halo all_to_all
   overlap the dst-side edge work (the gather result is only needed by the
   src side).  The fused-kernel path (v5 Pallas over the local gather
   table) builds the table up front instead — its edge block is ~3x
@@ -72,8 +73,9 @@ class OwnerShardedBatch:
     edge_attr: jax.Array
     edge_mask: jax.Array
     dst_count: jax.Array          # [G, Nl] exact global in-degrees
-    # halo: local row ids this shard contributes to the exchanged block
-    send_idx: jax.Array           # [G, S]
+    # halo: send_idx[owner, dest, :] = local row ids owner sends to dest
+    # (targeted per-pair boundary sets; exchanged with ONE all_to_all)
+    send_idx: jax.Array           # [G, G, S]
     loc_mean: jax.Array           # [G, B, 3, C] (replicated copies)
     # per-shard v5 edge-kernel metas over the [Nl + G*S] local gather table
     # (uniform shapes across shards; None when the kernel isn't applicable)
@@ -85,6 +87,9 @@ class OwnerShardedBatch:
     #   ^ (chunk, W, G_super, D, n_blocks, fe)
     n_graphs: int = struct.field(pytree_node=False, default=1)
     n_shards: int = struct.field(pytree_node=False, default=1)
+    # total REAL boundary rows across all ordered pairs (halo accounting;
+    # actual all_to_all payload is the padded G*G*S buffer)
+    halo_total_rows: int = struct.field(pytree_node=False, default=0)
 
     @property
     def nodes_per_shard(self) -> int:
@@ -124,23 +129,38 @@ def make_owner_sharded_batch(
     real = em & (dst < N)
     owner_e = np.where(real, dst // Nl, -1)
 
-    # boundary (send) sets: rows of shard j used as src by OTHER shards
-    send_sets = []
-    for j in range(G):
-        foreign = real & (owner_e != j) & (src // Nl == j)
-        send_sets.append(np.unique(src[foreign]))
-    S = max([1] + [s.size for s in send_sets])
+    # TARGETED boundary (send) sets, per ordered shard pair: rows of shard j
+    # used as src by shard i's edges.  The exchange is one all_to_all of
+    # [G, S, H+3] blocks — each device sends each peer ONLY the rows that
+    # peer references (comm O(boundary-pairs)), vs the previous broadcast
+    # all_gather that delivered every shard's full boundary to everyone
+    # (O(G*S) rows/device).
+    pair_sets = [[np.empty(0, np.int64)] * G for _ in range(G)]
+    for i in range(G):
+        mine = real & (owner_e == i)
+        src_i = src[mine]
+        sb_own = src_i // Nl
+        for j in range(G):
+            if j != i:
+                pair_sets[j][i] = np.unique(src_i[sb_own == j])
+    S = max([1] + [pair_sets[j][i].size for j in range(G) for i in range(G)])
+    halo_total = int(sum(pair_sets[j][i].size
+                         for j in range(G) for i in range(G)))
     if halo_capacity is not None:
         if S > halo_capacity:
             raise ValueError(
                 f"halo size {S} exceeds capacity {halo_capacity}")
         S = halo_capacity
-    send_idx = np.zeros((G, S), np.int32)
-    # global -> halo-slot lookup
-    halo_pos = np.full(N, -1, np.int64)
-    for j, sset in enumerate(send_sets):
-        send_idx[j, : sset.size] = sset - j * Nl           # local row ids
-        halo_pos[sset] = Nl + j * S + np.arange(sset.size)
+    # send_idx[j, i, :] = local row ids shard j sends to shard i; after the
+    # all_to_all, shard i's halo row for global node s owned by j sits at
+    # Nl + j*S + position of s in pair_sets[j][i]
+    send_idx = np.zeros((G, G, S), np.int32)
+    halo_pos_per_dest = np.full((G, N), -1, np.int64)
+    for j in range(G):
+        for i in range(G):
+            sset = pair_sets[j][i]
+            send_idx[j, i, : sset.size] = sset - j * Nl    # local row ids
+            halo_pos_per_dest[i, sset] = Nl + j * S + np.arange(sset.size)
 
     El = max(int((owner_e == i).sum()) for i in range(G))
     El = max(El, 1)
@@ -160,7 +180,8 @@ def make_owner_sharded_batch(
         d, s = dst[sel], src[sel]
         dst_l[i, :ne] = d - i * Nl
         own = s // Nl == i
-        src_l[i, :ne] = np.where(own, s - i * Nl, halo_pos[s])
+        src_l[i, :ne] = np.where(own, s - i * Nl,
+                                  halo_pos_per_dest[i, s])
         ea_l[i, :ne] = ea[sel]
         em_l[i, :ne] = True
         cnt_l[i] = np.bincount(d - i * Nl, minlength=Nl).astype(np.float32)
@@ -240,6 +261,7 @@ def make_owner_sharded_batch(
         ek5_cfg=ek5_cfg,
         n_graphs=B,
         n_shards=G,
+        halo_total_rows=halo_total,
     )
 
 
@@ -292,10 +314,15 @@ def owner_sharded_fastegnn(
         p = params[f"gcl_{li}"]
         w = LayerWeights.from_param_dict(
             p, has_gravity=gravity is not None, attention=False)
-        # ---- halo exchange: boundary rows of (h, x) ----
+        # ---- targeted halo exchange: per-peer boundary rows of (h, x),
+        # one all_to_all of [G, S, H+3] (device j's block i = the rows
+        # shard i references from j); comm is O(boundary-pairs), not
+        # O(G * max-boundary) as the previous broadcast all_gather was ----
         hx = jnp.concatenate([h, x], axis=-1)              # [Nl, H+3]
-        send = jnp.take(hx, sb.send_idx, axis=0)           # [S, H+3]
-        halo = jax.lax.all_gather(send, axis)              # [G, S, H+3]
+        send = jnp.take(hx, sb.send_idx, axis=0)           # [G, S, H+3]
+        halo = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=True
+        )                                                  # [G, S, H+3]
         table = jnp.concatenate(
             [hx, halo.reshape(-1, hx.shape[1])], axis=0
         )                                                  # [Nl + G*S, H+3]
@@ -513,7 +540,8 @@ class OwnerBatchFactory:
         probe = make_owner_sharded_batch(
             batch, self.n_shards, build_ek5=False)
         self._el = max(self._el, self._q(probe.dst_local.shape[1], 1024))
-        self._halo = max(self._halo, self._q(probe.send_idx.shape[1], 256))
+        self._halo = max(self._halo,
+                         self._q(probe.send_idx.shape[-1], 256))
         sb = make_owner_sharded_batch(
             batch, self.n_shards, build_ek5=self.build_ek5,
             el_capacity=self._el, halo_capacity=self._halo,

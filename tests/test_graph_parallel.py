@@ -167,7 +167,8 @@ def test_owner_sharded_forward_matches_unsharded():
     # O(N/G) node state: every node leaf is [G, N/G, ...]
     assert sb.node_feat.shape[:2] == (G, batch.num_nodes // G)
     # halo stays a fraction of the owned rows for a spatially-sorted graph
-    assert sb.send_idx.shape[1] < batch.num_nodes // G
+    # (send_idx is [owner, dest, S] with the targeted per-pair exchange)
+    assert sb.send_idx.shape[2] < batch.num_nodes // G
 
     mesh = Mesh(np.asarray(jax.devices()[:G]), ("graph",))
     fwd = make_owner_gp_forward(mesh, axis="graph", n_layers=2)
@@ -201,15 +202,20 @@ def test_owner_sharded_train_step_matches_unsharded():
     sb = make_owner_sharded_batch(batch, G)
     mesh = Mesh(np.asarray(jax.devices()[:G]), ("graph",))
     step = make_owner_gp_train_step(tx, mesh, axis="graph", n_layers=2,
-                                    sigma=1.5, weight=0.01, sample=3)
+                                    sigma=1.5, weight=0.01, sample=3,
+                                    per_graph_sampling=True)
     state, metrics = step(TrainState.create(params, tx), sb, key)
 
     np.testing.assert_allclose(float(metrics["mse"]),
                                float(ref_metrics["mse"]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(ref_state.params)):
+        # post-Adam params; small slack over exactness because the targeted
+        # halo layout permutes the kernel's slot packing, so f32 edge-grad
+        # sums associate differently (ordering noise ~1e-6, amplified a bit
+        # by step-1 Adam's g/(|g|+eps) on tiny grads)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-6, rtol=1e-5)
+                                   atol=5e-6)
 
 
 def test_owner_sharded_segment_path_matches_kernel_path():
