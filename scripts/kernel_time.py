@@ -57,7 +57,14 @@ def main():
         print(f"{label:<44s} {dt:8.3f} ms", flush=True)
         return dt
 
+    import sys
     configs = [
+        (128, 1, 16, 64, 8),
+        (128, 1, 32, 64, 8),
+        (128, 1, 32, 64, 16),
+        (128, 1, 64, 64, 16),
+        (128, 2, 16, 64, 8),
+    ] if "r4b" in sys.argv[1:] else [
         (128, 1, 16, 64, 1),
         (128, 1, 16, 64, 4),
         (128, 1, 16, 64, 8),

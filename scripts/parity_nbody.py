@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -163,11 +164,18 @@ def run_jax(epochs: int, out_json: str, platform=None):
     params = jax.jit(model.init)(jax.random.key(43), example)["params"]
     tx = torch_adam(HP["lr"], HP["wd"])
     state = TrainState.create(params, tx)
+    # log_directory: the loop rewrites [best, log] each epoch (reference
+    # semantics), so an OOM-killed long run still leaves its results —
+    # the round-4 100-particle run died at 125 GB RSS (a ~260 MB/epoch
+    # host-side leak through the tunnel client) after 483 epochs
     best, log, state = train(
         model, state, tx, dtr, dva, dte, batch_size=HP["batch_size"],
         sigma=HP["sigma"], weight=HP["weight"], sample=HP["sample"],
         test_interval=HP["test_interval"], early_stop=HP["early_stop"],
-        max_epochs=epochs, seed=43, log_directory=None, verbose=True,
+        max_epochs=epochs, seed=43,
+        log_directory=os.path.dirname(out_json) or ".",
+        log_name=os.path.basename(out_json).replace(".json", "_live.json"),
+        verbose=True,
     )
     with open(out_json, "w") as f:
         json.dump([best, log], f, indent=2)
@@ -190,7 +198,6 @@ if __name__ == "__main__":
     if a.name:
         NAME = a.name
     out = a.out or f"/root/repo/logs/parity_{a.side}.json"
-    import os
 
     os.makedirs(os.path.dirname(out), exist_ok=True)
     if a.side == "torch":
