@@ -42,10 +42,14 @@ def add_common_args(p: argparse.ArgumentParser, *, sigma: float, weight: float,
     p.add_argument("--mesh", type=str, default=None,
                    help="distributed training mesh, e.g. 'data=2', "
                         "'graph=4', or 'data=2,graph=4': data-parallel over "
-                        "graphs x graph-parallel (edge-sharded) within each "
-                        "replica; needs data*graph devices. Global batch "
-                        "semantics match single-device training and "
-                        "checkpoints are interchangeable across mesh shapes")
+                        "graphs x owner-sharded graph parallelism within "
+                        "each replica; needs data*graph devices. Global "
+                        "batch semantics match single-device training "
+                        "(MMD included; per-replica sampling on the data "
+                        "axis), checkpoints are interchangeable across "
+                        "mesh shapes, and EVAL runs single-device on the "
+                        "replicated params (eval epochs are a small "
+                        "fraction of wall time at test_interval=5)")
 
 
 def parse_mesh(spec):
