@@ -111,7 +111,10 @@ def main():
         if base_rate is None:
             base_rate = rate / G  # per-device rate at G=1
         eff = rate / (G * base_rate)
+        from fastegnn_tpu.parallel.owner_graph import halo_pair_rows
+
         halo = int(sb.send_idx.shape[-1])
+        halo_total = halo_pair_rows(batch, G)
         # comm accounting: per-layer all_to_all payload (padded) vs the
         # real boundary-pair rows; 67 f32s per row ([h|x], H=64)
         row_bytes = (64 + 3) * 4
@@ -120,9 +123,9 @@ def main():
                             medges_per_s=round(rate / 1e6, 2),
                             efficiency=round(eff, 3),
                             halo_rows_max_pair=halo,
-                            halo_rows_total=sb.halo_total_rows,
+                            halo_rows_total=halo_total,
                             halo_kb_per_layer=round(
-                                sb.halo_total_rows * row_bytes / 1024, 1),
+                                halo_total * row_bytes / 1024, 1),
                             halo_kb_padded=round(
                                 G * G * halo * row_bytes / 1024, 1)))
         print(json.dumps({"metric": "gp_weak_scaling", **results[-1]}),

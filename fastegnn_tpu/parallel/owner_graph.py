@@ -87,9 +87,6 @@ class OwnerShardedBatch:
     #   ^ (chunk, W, G_super, D, n_blocks, fe)
     n_graphs: int = struct.field(pytree_node=False, default=1)
     n_shards: int = struct.field(pytree_node=False, default=1)
-    # total REAL boundary rows across all ordered pairs (halo accounting;
-    # actual all_to_all payload is the padded G*G*S buffer)
-    halo_total_rows: int = struct.field(pytree_node=False, default=0)
 
     @property
     def nodes_per_shard(self) -> int:
@@ -144,8 +141,6 @@ def make_owner_sharded_batch(
             if j != i:
                 pair_sets[j][i] = np.unique(src_i[sb_own == j])
     S = max([1] + [pair_sets[j][i].size for j in range(G) for i in range(G)])
-    halo_total = int(sum(pair_sets[j][i].size
-                         for j in range(G) for i in range(G)))
     if halo_capacity is not None:
         if S > halo_capacity:
             raise ValueError(
@@ -261,7 +256,6 @@ def make_owner_sharded_batch(
         ek5_cfg=ek5_cfg,
         n_graphs=B,
         n_shards=G,
-        halo_total_rows=halo_total,
     )
 
 
@@ -598,3 +592,24 @@ def iter_owner_sharded_batches(
             else x,
             stacked,
         )
+
+
+def halo_pair_rows(batch: GraphBatch, n_shards: int) -> int:
+    """Total REAL boundary rows across all ordered shard pairs (halo-bytes
+    accounting for bench_scaling; kept OFF OwnerShardedBatch because a
+    static field would retrace the jitted step per batch)."""
+    N = batch.num_nodes
+    G = n_shards
+    Nl = N // G
+    dst = np.asarray(batch.dst)
+    src = np.asarray(batch.src)
+    real = np.asarray(batch.edge_mask) & (dst < N)
+    total = 0
+    for i in range(G):
+        mine = real & (dst // Nl == i)
+        src_i = src[mine]
+        sb_own = src_i // Nl
+        for j in range(G):
+            if j != i:
+                total += np.unique(src_i[sb_own == j]).size
+    return int(total)

@@ -245,3 +245,20 @@ def test_owner_sharded_segment_path_matches_kernel_path():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(x_k), np.asarray(ref_x),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_owner_batch_factory_shape_stability():
+    """Capacity quantisation keeps owner-sharded batch shapes stable across
+    batches with different edge distributions (one jitted step, no
+    per-batch retraces)."""
+    from fastegnn_tpu.parallel.owner_graph import OwnerBatchFactory
+
+    factory = OwnerBatchFactory(2, ek5_sblocks=1)
+    shapes = []
+    for seed in range(3):
+        sb = factory(_spatial_batch(n=256, seed=seed))
+        shapes.append(jax.tree.map(lambda a: a.shape, sb))
+    assert shapes[0] == shapes[1] == shapes[2]
+    # capacities quantised upward
+    assert shapes[0].dst_local[1] % 1024 == 0
+    assert shapes[0].send_idx[2] % 256 == 0
