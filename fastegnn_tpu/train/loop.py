@@ -78,6 +78,7 @@ def train(
     train_step_fn=None,
     batch_iter_fn=None,
     eval_model=None,
+    shuffle: bool = True,
 ):
     """Returns ``(best_log_dict, log_dict, final_state)``.
 
@@ -104,8 +105,15 @@ def train(
         use_mmd, apply_fn=apply_fn,
     )
     key = jax.random.key(seed)
-    shuffle_rng = np.random.default_rng(seed)
-    for ds in (dataset_valid, dataset_test):
+    # shuffle=False: fixed batch composition AND order every epoch — the
+    # reference N-body/protein loaders never shuffle (main_nbody.py:94).
+    # Collated batches are then memoized, which also sidesteps a ~260 MB/
+    # epoch device-buffer leak in the tunneled-TPU client when fresh
+    # batches are uploaded every epoch (round-4 parity run OOM).
+    shuffle_rng = np.random.default_rng(seed) if shuffle else None
+    cache_sets = (dataset_valid, dataset_test) + (
+        () if shuffle else (dataset_train,))
+    for ds in cache_sets:
         if hasattr(ds, "enable_collate_cache"):
             ds.enable_collate_cache()
 

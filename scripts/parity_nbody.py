@@ -172,7 +172,7 @@ def run_jax(epochs: int, out_json: str, platform=None):
         model, state, tx, dtr, dva, dte, batch_size=HP["batch_size"],
         sigma=HP["sigma"], weight=HP["weight"], sample=HP["sample"],
         test_interval=HP["test_interval"], early_stop=HP["early_stop"],
-        max_epochs=epochs, seed=43,
+        max_epochs=epochs, seed=43, shuffle=False,
         log_directory=os.path.dirname(out_json) or ".",
         log_name=os.path.basename(out_json).replace(".json", "_live.json"),
         verbose=True,
