@@ -165,3 +165,35 @@ def test_split_mlp_weight_extraction():
     ref_c = CoordMLP(12).init(key, x)
     assert jax.tree.structure(ref_c) == jax.tree.structure(params_c)
     assert jnp.allclose(CoordMLP(12).apply(params_c, x), yc)
+
+
+def test_fused_graph_groups_match_monolithic_model():
+    """FastEGNN forward through grouped kernel calls == single-meta batch."""
+    import fastegnn_tpu.graph as gmod
+    from helpers import random_raw_graph
+    from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
+    from fastegnn_tpu.models import FastEGNN
+
+    rng = np.random.default_rng(5)
+    raws = [random_raw_graph(rng, 40) for _ in range(4)]
+    spec = GraphSpec(max_nodes=40, max_edges=40 * 39, n_graphs=4,
+                     edge_attr_dim=2, virtual_channels=3)
+    padded = [pad_graph(spec, **r) for r in raws]
+    mono = batch_graphs(padded, spec)
+    old = gmod.EK5_MAX_NODES
+    gmod.EK5_MAX_NODES = 80     # 2 graphs (80 rows) per group
+    try:
+        grouped = batch_graphs(padded, spec)
+    finally:
+        gmod.EK5_MAX_NODES = old
+    assert mono.ek5 is not None and grouped.ek5_groups is not None
+
+    model = FastEGNN(hidden=64, virtual_channels=3, n_layers=2,
+                     fuse_edge=True)
+    params = model.init(jax.random.key(0), mono)["params"]
+    x_m, v_m = model.apply({"params": params}, mono)
+    x_g, v_g = model.apply({"params": params}, grouped)
+    np.testing.assert_allclose(np.asarray(x_g), np.asarray(x_m),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_g), np.asarray(v_m),
+                               atol=2e-5, rtol=2e-5)
