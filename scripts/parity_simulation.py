@@ -233,9 +233,15 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--side", choices=["torch", "jax"], required=True)
     p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--early-stop", type=int, default=None,
+                   help="override HP early_stop (the loss plateaus ~100 "
+                        "epochs at 1e-3 before breaking lower; 100-epoch "
+                        "patience can fire mid-plateau)")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
     a = p.parse_args()
+    if a.early_stop is not None:
+        HP["early_stop"] = a.early_stop
     out = a.out or f"/root/repo/logs/parity_sim_{a.side}.json"
     os.makedirs(os.path.dirname(out), exist_ok=True)
     if a.side == "torch":
