@@ -14,9 +14,9 @@ PAIRS = [
     ("N-body 5_0_0 (round 2)", "docs/parity/parity_jax.json",
      "docs/parity/parity_torch.json"),
     ("N-body 100_0_0 (reference headline config, round 4)",
-     "logs/parity100_jax.json", "logs/parity100_torch.json"),
+     "docs/parity/parity100_jax.json", "docs/parity/parity100_torch.json"),
     ("Water-3D synthetic h5 (round 4)",
-     "logs/parity_sim_jax.json", "logs/parity_sim_torch.json"),
+     "docs/parity/parity_sim_jax.json", "docs/parity/parity_sim_torch.json"),
 ]
 
 
