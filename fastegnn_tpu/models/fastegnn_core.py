@@ -193,8 +193,14 @@ def virtual_and_node_update(
         vx.reshape(B, C * 3).astype(jnp.float32), gid_l, axis=0, mode="clip"
     )
     vdiff = vx_n - jnp.tile(x_l, (1, C))               # [n, 3C]
-    vdiff3 = vdiff.reshape(n, C, 3)
-    vrad = jnp.sqrt(jnp.sum(vdiff3 * vdiff3, axis=-1))  # [n, C]
+    # CHANNEL-UNROLLED layout discipline: TPU tiled layouts make every
+    # [n, C, 3] / [n*C, H] <-> [n, C*H] reshape a 3 MB re-tiling copy
+    # (measured ~0.8 ms/step of reshape+copy in the r4 step trace).  All
+    # per-channel tensors here are contiguous [n, .] slices, and the
+    # virtual-message chain runs CHANNEL-MAJOR [C*n, H] — block c = rows
+    # [c*n, (c+1)*n) — so chain dots see one big array with NO relayout.
+    vd = [vdiff[:, 3 * c: 3 * c + 3] for c in range(C)]
+    vrad_c = [jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)) for v in vd]
 
     coord_mean = pool(x_l)                             # [B, 3] f32
     m_x = vx - coord_mean[:, None, :].astype(vx.dtype)
@@ -208,13 +214,17 @@ def virtual_and_node_update(
         + gram.astype(cd) @ W0[2 * H + 1:].astype(cd)
         + b0.astype(cd)
     )                                                  # [B, C, H]
-    zb_n = take(zb.reshape(B, C * H)).astype(cd).reshape(n * C, H)
-    z1 = (
-        zh[:, None, :] + vrad[:, :, None].astype(cd) * W0[2 * H].astype(cd)
-    ).reshape(n * C, H) + zb_n
+    w_r = W0[2 * H].astype(cd)                         # radial row [H]
+    z1 = jnp.concatenate(
+        [
+            zh + vrad_c[c].astype(cd) * w_r + take(zb[:, c, :]).astype(cd)
+            for c in range(C)
+        ],
+        axis=0,
+    )                                                  # [C*n, H] chan-major
     m_v = jax.nn.silu(
         jax.nn.silu(z1) @ w.ev_W1.astype(cd) + w.ev_b1.astype(cd)
-    )                                                  # [n*C, H]
+    )                                                  # [C*n, H]
     if cfg.attention:
         m_v = m_v * jax.nn.sigmoid(
             m_v @ w.att_v_w.astype(cd) + w.att_v_b.astype(cd)
@@ -227,11 +237,12 @@ def virtual_and_node_update(
     G2 = G2.at[:H, 0].set(w.rv_w1[:, 0]).at[H:, 1].set(w.vv_w1[:, 0])
     gates2 = (
         jax.nn.silu(m_v @ G1.astype(cd) + bG.astype(cd)) @ G2.astype(cd)
-    ).astype(jnp.float32)                              # [n*C, 2]
+    ).astype(jnp.float32)                              # [C*n, 2]
     if cfg.tanh:
         gates2 = jnp.tanh(gates2)
-    gate_xv = gates2[:, 0].reshape(n, C)
-    gate_X = gates2[:, 1].reshape(n, C)
+    gate_xv_c = [gates2[c * n: (c + 1) * n, 0:1] for c in range(C)]
+    gate_X_c = [gates2[c * n: (c + 1) * n, 1:2] for c in range(C)]
+    m_v_c = [m_v[c * n: (c + 1) * n] for c in range(C)]  # [n, H] contiguous
 
     # combined velocity/gravity heads over h (phi_v, phi_g)
     if cfg.has_gravity:
@@ -253,19 +264,20 @@ def virtual_and_node_update(
 
     # coordinate update on owned rows (ref :122-144, :218)
     x_new = x_l + agg_x_l
-    x_new = x_new + jnp.einsum("ncd,nc->nd", -vdiff3, gate_xv) * (1.0 / C)
+    delta_v = sum(vd[c] * gate_xv_c[c] for c in range(C))
+    x_new = x_new - delta_v * (1.0 / C)
     x_new = x_new + vel_gate * v_l
     if cfg.has_gravity:
         x_new = x_new + grav_gate * gravity
 
-    # virtual updates (pools are per-graph means; psum-aware via `pool`)
-    vxg = (vdiff3 * gate_X[:, :, None]).reshape(n, C * 3)
-    m_v_flat = m_v.reshape(n, C * H)
-    pooled = pool(
-        jnp.concatenate([vxg.astype(m_v_flat.dtype), m_v_flat], axis=-1)
-    )                                                   # [B, 3C + CH] f32
-    vx_new = vx + pooled[:, : C * 3].reshape(B, C, 3)
-    pool_mv = pooled[:, C * 3:].reshape(B, C, H)
+    # virtual updates (pools are per-graph means; psum-aware via `pool`);
+    # one pool per channel keeps the inputs as contiguous [n, .] blocks
+    vxg = jnp.concatenate(
+        [vd[c] * gate_X_c[c] for c in range(C)], axis=-1)  # [n, 3C]
+    pooled_g = pool(vxg.astype(cd))                     # [B, 3C] f32
+    vx_new = vx + pooled_g.reshape(B, C, 3)
+    pool_mv = jnp.stack(
+        [pool(m_v_c[c]) for c in range(C)], axis=1)     # [B, C, H] f32
     zv = jnp.concatenate([vh, pool_mv], axis=-1).astype(cd)
     dvh = (
         jax.nn.silu(zv @ w.nodev_W0.astype(cd) + w.nodev_b0.astype(cd))
@@ -273,12 +285,17 @@ def virtual_and_node_update(
     ).astype(jnp.float32)
     vh_new = vh + dvh if cfg.residual else dvh
 
-    # node feature update, first-layer split of phi_h (ref :153-166)
+    # node feature update, first-layer split of phi_h (ref :153-166); the
+    # virtual-message term splits per channel ([n,H] @ [H,H] each) so the
+    # [n, C*H] flat view never materialises
     K0 = w.node_K0
     z1h = (
         h_l.astype(cd) @ K0[:H].astype(cd)
         + agg_e_l.astype(cd) @ K0[H: 2 * H].astype(cd)
-        + m_v_flat.astype(cd) @ K0[2 * H: 2 * H + C * H].astype(cd)
+        + sum(
+            m_v_c[c] @ K0[2 * H + c * H: 2 * H + (c + 1) * H].astype(cd)
+            for c in range(C)
+        )
         + w.node_k0.astype(cd)
     )
     if node_attr is not None:
