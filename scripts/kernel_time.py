@@ -65,6 +65,11 @@ def main():
         (128, 1, 64, 64, 16),
         (128, 2, 16, 64, 8),
     ] if "r4b" in sys.argv[1:] else [
+        (128, 1, 16, 64, 8),
+        (128, 1, 16, 32, 8),
+        (128, 1, 8, 32, 8),
+        (128, 1, 16, 32, 16),
+    ] if "r4c" in sys.argv[1:] else [
         (128, 1, 16, 64, 1),
         (128, 1, 16, 64, 4),
         (128, 1, 16, 64, 8),
