@@ -659,3 +659,37 @@ def test_fastegnn_variant_parity(variant):
     loc, vloc = model.apply({"params": params}, batch)
     np.testing.assert_allclose(np.asarray(loc), ref_loc.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(vloc), ref_vloc.numpy(), atol=1e-4)
+
+
+@pytest.mark.parametrize("C5", [1, 5])
+def test_fastegnn_parity_other_channel_counts(C5):
+    """The channel-UNROLLED core (fastegnn_core round-4 layout) must stay
+    exact for C != 3 — slices/gates/pools are generated per C."""
+    mod = load_reference_module("models/FastEGNN.py")
+    torch.manual_seed(11 + C5)
+    ref = mod.FastEGNN(
+        node_feat_nf=2, node_attr_nf=0, edge_attr_nf=2, hidden_nf=H,
+        virtual_channels=C5, n_layers=2, device="cpu",
+    )
+    ref.eval()
+    rng = np.random.default_rng(21 + C5)
+    batch, raws, spec = make_batch(rng, n_graphs=2, n_nodes=9,
+                                   cutoff_rate=0.0, virtual_channels=C5)
+    tin = _torch_inputs_from_raws(raws, spec)
+    with torch.no_grad():
+        ref_loc, ref_vloc = ref(
+            node_feat=tin["node_feat"], node_loc=tin["node_loc"],
+            node_vel=tin["node_vel"], edge_index=tin["edge_index"],
+            data_batch=tin["data_batch"],
+            loc_mean=torch.tensor(np.asarray(batch.loc_mean)),
+            edge_attr=tin["edge_attr"],
+        )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = params_from_reference_state_dict(
+        sd, n_layers=2, hidden=H, virtual_channels=C5)
+    model = FastEGNN(hidden=H, virtual_channels=C5, n_layers=2)
+    loc, vloc = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(
+        np.asarray(loc), ref_loc.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(vloc), ref_vloc.numpy(), atol=1e-4)
