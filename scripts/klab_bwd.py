@@ -207,7 +207,7 @@ def main():
     # production fwd for scale (integrated tanh-sigmoid)
     fwdj = jax.jit(functools.partial(
         _fwd_impl, chunk=meta.chunk, W=meta.W, G=meta.G, D=meta.D,
-        n_seg_pad=n_seg_pad, interpret=False))
+        S=meta.S, n_seg_pad=n_seg_pad, interpret=False))
     marrs = (meta.sdb, meta.w0, meta.dw0)
     r = fwdj(marrs, wp, eW, vpc, tab, meta.idsx)
     float(jnp.sum(r[:8, :8]))
