@@ -355,10 +355,13 @@ def batch_graphs(
                 rows_list.append((row0, rows))
             ek5_groups = tuple(groups)
             ek5_group_rows = tuple(rows_list)
-        if ek5 is None and ek5_groups is None:
+        if ek5 is None:
             # Pallas-CSR gather/scatter: the fallback for single graphs
             # beyond the v5 VMEM envelope and for layer variants the fused
-            # kernel doesn't cover (attention/normalize/tanh, hidden != 64)
+            # kernel doesn't cover (attention/normalize/tanh, hidden != 64).
+            # Built ALSO for graph-group batches: group-mode is production
+            # scale, and a non-fusable model variant must not silently fall
+            # to the plain take+segment path there.
             csr_dst = make_csr_meta(dst, total_nodes, rows=csr_rows,
                                     chunk=edge_align)
             perm = np.argsort(

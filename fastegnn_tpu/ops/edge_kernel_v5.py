@@ -645,7 +645,10 @@ def fused_edge_block_v5(
     Fe = meta.eattr_fe
     cd = jnp.dtype(compute_dtype)
     chunk, W, G, D, S = meta.chunk, meta.W, meta.G, meta.D, meta.S
-    n_seg_pad = max(_round_up(N, S * ROWS), W * ROWS, S * ROWS)
+    # node-table rows padded to the largest window AND a multiple of the
+    # streamed (S*ROWS, 128) output BlockSpec (W*ROWS can dominate without
+    # being a multiple of S*ROWS)
+    n_seg_pad = _round_up(max(N, W * ROWS, S * ROWS), S * ROWS)
     interpret = jax.default_backend() != "tpu"
     meta_arrs = (meta.sdb, meta.w0, meta.dw0)
     idsx = meta.idsx

@@ -536,10 +536,20 @@ class OwnerBatchFactory:
         self._el = max(self._el, self._q(probe.dst_local.shape[1], 1024))
         self._halo = max(self._halo,
                          self._q(probe.send_idx.shape[-1], 256))
-        sb = make_owner_sharded_batch(
-            batch, self.n_shards, build_ek5=self.build_ek5,
-            el_capacity=self._el, halo_capacity=self._halo,
-            super_capacity=self._super or None, **self.ek5_kw)
+        try:
+            sb = make_owner_sharded_batch(
+                batch, self.n_shards, build_ek5=self.build_ek5,
+                el_capacity=self._el, halo_capacity=self._halo,
+                super_capacity=self._super or None, **self.ek5_kw)
+        except ValueError:
+            # a later batch packed more v5 superchunks than the current
+            # quantized capacity: learn the natural size from an uncapped
+            # build, then re-quantize below (el/halo are probed above and
+            # cannot raise here)
+            sb = make_owner_sharded_batch(
+                batch, self.n_shards, build_ek5=self.build_ek5,
+                el_capacity=self._el, halo_capacity=self._halo,
+                super_capacity=None, **self.ek5_kw)
         if sb.ek5_sdb is not None and sb.ek5_sdb.shape[1] > self._super:
             self._super = self._q(sb.ek5_sdb.shape[1], 8)
             sb = make_owner_sharded_batch(
@@ -579,10 +589,20 @@ def iter_owner_sharded_batches(
     for lo in range(0, end, batch_size):
         idx = order[lo:lo + batch_size]
         per = batch_size // data
-        subs = [
-            factory(dataset.collate(list(idx[d * per:(d + 1) * per])))
+        collated = [
+            dataset.collate(list(idx[d * per:(d + 1) * per]))
             for d in range(data)
         ]
+        subs = [factory(c) for c in collated]
+        if data > 1:
+            # a capacity (el/halo/super) that grew mid-loop leaves earlier
+            # subs with smaller leaf shapes than later ones; capacities are
+            # monotone, so one more factory pass makes all D uniform
+            def _shapes(s):
+                return jax.tree.map(lambda x: getattr(x, "shape", None), s)
+            last = _shapes(subs[-1])
+            if any(_shapes(s) != last for s in subs[:-1]):
+                subs = [factory(c) for c in collated]
         stacked = (
             jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
             if data > 1 else subs[0]

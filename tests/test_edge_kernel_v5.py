@@ -189,3 +189,17 @@ def test_graph_groups_match_single_meta():
         h, b.coord, b.dst, b.src, b.edge_attr, *w)
     np.testing.assert_allclose(ms, ms_r, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(ts, ts_r, rtol=2e-5, atol=2e-5)
+
+
+def test_n_seg_pad_nonmultiple_window():
+    # S=2, W=3, tiny N: W*ROWS (384) dominates and is NOT a multiple of
+    # S*ROWS (256); n_seg_pad must round up to the streamed BlockSpec
+    # (latent trace-time failure, round-4 advisor finding)
+    h, x, dst, src, ea, w = _setup(n=100, deg=6)
+    meta = make_v5_meta(dst, src, ea, np.ones(dst.size, bool), 100,
+                        chunk=128, W=3, G=2, S=2)
+    ms, ts = fused_edge_block_v5(h, x, meta, *w)
+    ms_r, ts_r = _ref_edge_block(h, x, jnp.asarray(dst), jnp.asarray(src),
+                                 jnp.asarray(ea), *w)
+    np.testing.assert_allclose(ms, ms_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(ts, ts_r, rtol=2e-5, atol=2e-5)

@@ -197,3 +197,38 @@ def test_fused_graph_groups_match_monolithic_model():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(v_g), np.asarray(v_m),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_group_mode_batches_carry_csr_metas():
+    """Group-mode (production-scale) batches must ALSO carry the Pallas-CSR
+    metas so non-fusable model variants (attention/tanh/normalize, hidden
+    != 64, f32-on-TPU) keep the CSR gather/scatter path instead of silently
+    falling to plain take+segment (round-4 advisor finding)."""
+    import fastegnn_tpu.graph as gmod
+    from helpers import random_raw_graph
+    from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
+    from fastegnn_tpu.models import FastEGNN
+
+    rng = np.random.default_rng(6)
+    raws = [random_raw_graph(rng, 40) for _ in range(4)]
+    spec = GraphSpec(max_nodes=40, max_edges=40 * 39, n_graphs=4,
+                     edge_attr_dim=2, virtual_channels=3)
+    padded = [pad_graph(spec, **r) for r in raws]
+    old = gmod.EK5_MAX_NODES
+    gmod.EK5_MAX_NODES = 80
+    try:
+        grouped = batch_graphs(padded, spec)
+    finally:
+        gmod.EK5_MAX_NODES = old
+    assert grouped.ek5_groups is not None
+    assert grouped.csr_dst is not None and grouped.csr_src is not None
+
+    # a model the fused kernel can't cover (hidden != 64) still matches the
+    # unfused forward on the group-mode batch
+    mono = batch_graphs(padded, spec)
+    model = FastEGNN(hidden=32, virtual_channels=3, n_layers=2)
+    params = model.init(jax.random.key(1), mono)["params"]
+    x_m, _ = model.apply({"params": params}, mono)
+    x_g, _ = model.apply({"params": params}, grouped)
+    np.testing.assert_allclose(np.asarray(x_g), np.asarray(x_m),
+                               atol=2e-5, rtol=2e-5)

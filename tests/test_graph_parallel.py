@@ -121,7 +121,7 @@ def test_gp_with_data_axis():
 # ---------------------------------------------------------------------------
 
 
-def _spatial_batch(n=256, seed=0):
+def _spatial_batch(n=256, seed=0, radius=0.22):
     """One spatially-sorted radius graph (locality keeps halos small)."""
     import numpy as np
     from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
@@ -132,7 +132,7 @@ def _spatial_batch(n=256, seed=0):
     order = np.argsort(loc[:, 0], kind="stable")   # 1-D spatial sort
     loc = loc[order]
     vel = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
-    dst, src = radius_graph_np(loc, 0.22)
+    dst, src = radius_graph_np(loc, radius)
     o = np.argsort(dst, kind="stable")
     dst, src = dst[o].astype(np.int32), src[o].astype(np.int32)
     d0 = np.linalg.norm(loc[dst] - loc[src], axis=1, keepdims=True)
@@ -262,3 +262,52 @@ def test_owner_batch_factory_shape_stability():
     # capacities quantised upward
     assert shapes[0].dst_local[1] % 1024 == 0
     assert shapes[0].send_idx[2] % 256 == 0
+
+
+def test_owner_batch_factory_grows_super_capacity():
+    """A later batch that packs MORE v5 superchunks than the first batch's
+    quantized capacity must grow the capacity and rebuild — not raise
+    ValueError mid-training (round-4 advisor finding)."""
+    from fastegnn_tpu.parallel.owner_graph import OwnerBatchFactory
+
+    factory = OwnerBatchFactory(2, ek5_sblocks=1, ek5_super=2)
+    small = factory(_spatial_batch(n=128, seed=0))
+    assert small.ek5_sdb is not None
+    # ~16x the edges of the n=128 batch -> far more superchunks
+    big = factory(_spatial_batch(n=512, seed=1))
+    assert big.ek5_sdb.shape[1] > small.ek5_sdb.shape[1]
+    # capacity is now monotone: a small batch pads up to the big shape
+    small2 = factory(_spatial_batch(n=128, seed=2))
+    assert small2.ek5_sdb.shape[1] == big.ek5_sdb.shape[1]
+
+
+def test_iter_owner_sharded_batches_uniform_subs_under_growth():
+    """With data>1, a capacity that grows between the D sub-batches of one
+    global batch must not leave earlier subs with smaller leaves (jnp.stack
+    would raise; round-4 advisor finding)."""
+    from fastegnn_tpu.parallel.owner_graph import (
+        OwnerBatchFactory,
+        iter_owner_sharded_batches,
+    )
+
+    class _DS:
+        # index -> graph density: idx 0 sparse, idx 1 dense, within ONE
+        # global batch so the el/halo/super capacities grow mid-loop
+        _r = {0: 0.10, 1: 0.30, 2: 0.30, 3: 0.10}
+
+        def __len__(self):
+            return 4
+
+        def collate(self, idxs):
+            (i,) = idxs
+            return _spatial_batch(n=256, seed=i, radius=self._r[i])
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("data", "graph"))
+    factory = OwnerBatchFactory(2, ek5_sblocks=1, ek5_super=2)
+    batches = list(iter_owner_sharded_batches(
+        _DS(), 2, mesh, factory, data=2))
+    assert len(batches) == 2
+    for b in batches:
+        # stacked leaves exist and are finite-shaped: [D, G, ...]
+        assert b.dst_local.shape[0] == 2 and b.dst_local.shape[1] == 2
