@@ -70,8 +70,8 @@ MMD_MODELS = {"FastEGNN", "FastRF", "FastTFN", "FastSchNet"}
 # Constructor kwargs each model accepts (the CLI filters its arg set by this).
 _GEOMETRIC_KW = {"hidden", "n_layers", "attention", "normalize", "tanh"}
 MODEL_KWARGS = {
-    "FastEGNN": _GEOMETRIC_KW | {"virtual_channels", "gravity", "compute_dtype",
-                                 "shard_axis", "shard_axis_size"},
+    "FastEGNN": _GEOMETRIC_KW | {"virtual_channels", "gravity",
+                                 "compute_dtype"},
     "FastRF": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
     "FastSchNet": _GEOMETRIC_KW | {"virtual_channels", "gravity"},
     "FastTFN": _GEOMETRIC_KW | {"virtual_channels", "gravity"},

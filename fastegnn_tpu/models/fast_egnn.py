@@ -28,24 +28,11 @@ Math per layer (reference ``models/FastEGNN.py:192-223``):
 - h_n      += phi_h(h, mean_e m, flatten_c M)            (:153-166)
 - Hv_gc    += phi_hv(Hv, mean_n M)                       (:168-177)
 
-Graph parallelism (``shard_axis``)
-----------------------------------
-Entirely new capability (the reference is single-device).  Inside
-``shard_map`` over a mesh axis of size ``G`` the layer runs the
-sequence-parallel-style pattern:
-
-- node state (h, x) is **replicated**; each shard holds **E/G edges** and
-  owns the contiguous node rows ``[i*N/G, (i+1)*N/G)``;
-- edge block: local gather + edge MLP + *partial* segment-sums, then
-  ``psum_scatter`` (reduce-scatter) delivers each shard the exact aggregates
-  for its owned rows;
-- dense virtual block, coordinate/feature updates: computed only on owned
-  rows (N/G work per shard); per-graph pools are partial sums ``psum``-ed;
-- updated node state is ``all_gather``-ed back to replicated.
-
-All collectives ride the mesh axis (ICI); per-layer comm volume is
-O(N*(H+3)) vs O(E*H) compute.  Exactness: 1-shard vs G-shard outputs agree
-to float tolerance (see tests/test_graph_parallel.py).
+Graph parallelism lives in ``parallel/owner_graph.py`` (owner-sharded node
+state, targeted per-pair halo all_to_all, per-shard fused v5 kernels); it
+consumes the same single-copy layer math from ``models/fastegnn_core.py``,
+so this module stays single-device.  Exactness: 1-shard vs G-shard outputs
+agree to float tolerance (tests/test_graph_parallel.py).
 """
 
 from __future__ import annotations
@@ -69,10 +56,6 @@ from fastegnn_tpu.ops.segment import segment_count, segment_sum
 from fastegnn_tpu.ops.spmm import gather_dst, gather_src, sorted_segment_sum_csr
 
 
-def _slice_rows(arr, start, size):
-    return jax.lax.dynamic_slice_in_dim(arr, start, size, axis=0)
-
-
 class EGCLVel(fnn.Module):
     """One FastEGNN layer (reference ``E_GCL_vel``, ``models/FastEGNN.py:6-223``)."""
 
@@ -85,8 +68,6 @@ class EGCLVel(fnn.Module):
     tanh: bool = False
     has_gravity: bool = False
     epsilon: float = 1e-8
-    shard_axis: Optional[str] = None   # mesh axis for graph parallelism
-    shard_axis_size: int = 1
     # Fused Pallas edge-block kernel (ops/edge_kernel.py v2): fully-fused
     # forward AND backward.  None = auto (on for TPU backends, off elsewhere
     # where the kernel would run in the slow interpreter); True forces it
@@ -114,11 +95,6 @@ class EGCLVel(fnn.Module):
         dst, src = graph.dst, graph.src
         emask = graph.edge_mask
         N = h.shape[0]
-        ax = self.shard_axis
-        G = self.shard_axis_size if ax is not None else 1
-        if N % G:
-            raise ValueError(f"nodes ({N}) must divide by shard_axis_size ({G})")
-        n_loc = N // G
 
         # ---- submodules (named once; identical param tree for both paths) ----
         # edge-path Linears are declared individually so the fused Pallas
@@ -213,7 +189,6 @@ class EGCLVel(fnn.Module):
             and not self.normalize
             and not self.tanh
             and self.coords_agg == "mean"
-            and ax is None   # sharded layers keep the CSR path for now
         )
         if use_fused:
             from fastegnn_tpu.ops.edge_kernel_v5 import fused_edge_block_v5
@@ -285,44 +260,22 @@ class EGCLVel(fnn.Module):
                     dst, N, mask=emask, indices_are_sorted=True
                 )
 
-        if ax is None:
-            i0 = 0
-            h_l, x_l, v_l = h, x, v
-            gid_l, nmask_l = graph.graph_id, graph.node_mask
-            na_l = node_attr
-            trans_l, m_agg_l, cnt_l = trans_sum, m_sum, cnt
-        else:
-            i0 = jax.lax.axis_index(ax) * n_loc
-            h_l, x_l, v_l = (_slice_rows(a, i0, n_loc) for a in (h, x, v))
-            gid_l = _slice_rows(graph.graph_id, i0, n_loc)
-            nmask_l = _slice_rows(graph.node_mask, i0, n_loc)
-            na_l = _slice_rows(node_attr, i0, n_loc) if node_attr is not None else None
-            # reduce-scatter: exact global aggregates for owned rows only
-            rs = lambda a: jax.lax.psum_scatter(a, ax, scatter_dimension=0, tiled=True)
-            trans_l, m_agg_l, cnt_l = rs(trans_sum), rs(m_sum), rs(cnt)
-
-        cnt_l = jnp.maximum(cnt_l, 1.0)
-        agg_x_l = trans_l / cnt_l[:, None] if self.coords_agg == "mean" else trans_l
-        agg_e_l = m_agg_l / cnt_l[:, None]   # node model always uses mean (:156)
+        cnt = jnp.maximum(cnt, 1.0)
+        agg_x = trans_sum / cnt[:, None] if self.coords_agg == "mean" else trans_sum
+        agg_e = m_sum / cnt[:, None]   # node model always uses mean (:156)
 
         # ---- post-aggregation math: single copy in fastegnn_core ----
         # (dense real<->virtual flat3 block, combined gate heads, velocity/
         # gravity gates, coordinate/feature updates; on the bf16 path the
         # injected take/pool are one-hot MXU matmuls, psum-aware when sharded)
         take, pool = make_take_pool(
-            gid_l, nmask_l, n_graphs,
-            use_onehot=cd == jnp.bfloat16, compute_dtype=cd, axis=ax,
+            graph.graph_id, graph.node_mask, n_graphs,
+            use_onehot=cd == jnp.bfloat16, compute_dtype=cd,
         )
-        h_new_l, x_new_l, vx_new, vh_new = virtual_and_node_update(
-            cfg, w, h_l, x_l, v_l, vx, vh, gid_l, agg_x_l, agg_e_l,
-            take=take, pool=pool, gravity=gravity, node_attr=na_l,
+        return virtual_and_node_update(
+            cfg, w, h, x, v, vx, vh, graph.graph_id, agg_x, agg_e,
+            take=take, pool=pool, gravity=gravity, node_attr=node_attr,
         )
-
-        if ax is None:
-            return h_new_l, x_new_l, vx_new, vh_new
-        h_new = jax.lax.all_gather(h_new_l, ax, axis=0, tiled=True)
-        x_new = jax.lax.all_gather(x_new_l, ax, axis=0, tiled=True)
-        return h_new, x_new, vx_new, vh_new
 
 
 class FastEGNN(fnn.Module):
@@ -330,8 +283,7 @@ class FastEGNN(fnn.Module):
 
     ``__call__(graph) -> (coord_pred [N,3], virtual_coord [B,3,C])``.
 
-    Set ``shard_axis``/``shard_axis_size`` to run graph-parallel inside
-    ``shard_map`` (see module docstring); params are identical either way.
+    For graph parallelism use ``parallel/owner_graph.py`` (same params).
     """
 
     hidden: int = 64
@@ -343,8 +295,6 @@ class FastEGNN(fnn.Module):
     tanh: bool = False
     gravity: Optional[Tuple[float, float, float]] = None
     use_node_attr: bool = False
-    shard_axis: Optional[str] = None
-    shard_axis_size: int = 1
     fuse_edge: Optional[bool] = None
     compute_dtype: str = "float32"
 
@@ -377,8 +327,6 @@ class FastEGNN(fnn.Module):
                 normalize=self.normalize,
                 tanh=self.tanh,
                 has_gravity=self.gravity is not None,
-                shard_axis=self.shard_axis,
-                shard_axis_size=self.shard_axis_size,
                 fuse_edge=self.fuse_edge,
                 compute_dtype=self.compute_dtype,
                 name=f"gcl_{i}",

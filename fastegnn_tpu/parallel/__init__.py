@@ -4,11 +4,15 @@ from fastegnn_tpu.parallel.data_parallel import (
     shard_batch_for_mesh,
     make_dp_train_step,
     make_dp_eval_step,
+    iter_dp_batches,
 )
-from fastegnn_tpu.parallel.graph_parallel import (
-    shard_graph_batch,
-    make_gp_train_step,
-    make_gp_forward,
+from fastegnn_tpu.parallel.owner_graph import (
+    OwnerBatchFactory,
+    iter_owner_sharded_batches,
+    make_owner_gp_eval_step,
+    make_owner_gp_forward,
+    make_owner_gp_train_step,
+    make_owner_sharded_batch,
 )
 
 __all__ = [
@@ -17,7 +21,11 @@ __all__ = [
     "shard_batch_for_mesh",
     "make_dp_train_step",
     "make_dp_eval_step",
-    "shard_graph_batch",
-    "make_gp_train_step",
-    "make_gp_forward",
+    "iter_dp_batches",
+    "OwnerBatchFactory",
+    "iter_owner_sharded_batches",
+    "make_owner_gp_eval_step",
+    "make_owner_gp_forward",
+    "make_owner_gp_train_step",
+    "make_owner_sharded_batch",
 ]

@@ -11,7 +11,7 @@ model code is reused verbatim inside ``shard_map``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -124,28 +124,50 @@ def make_dp_eval_step(
     return jax.jit(sharded)
 
 
-def make_sharded_batches(
+def iter_dp_batches(
     dataset,
     batch_size: int,
-    n_shards: int,
+    mesh: Mesh,
+    data: int,
     rng: np.random.Generator | None = None,
-) -> List[GraphBatch]:
-    """Host-side: split each global batch into D equal sub-batches and stack.
+    drop_last: bool = True,
+):
+    """Yield mesh-placed [D, ...]-stacked batches (the CLI ``--mesh data=D``
+    path).  Global batch semantics match ``dataset.iter_batches(batch_size)``
+    (shuffle + drop_last); each global batch splits into D contiguous
+    sub-batches of ``batch_size / D`` graphs.
 
-    ``batch_size`` is the *global* batch; must divide by ``n_shards``.
+    The fused edge-kernel slot metas (ek5) have data-dependent sizes, so
+    they cannot be stacked across shards; this path clears them and the
+    per-shard model runs the Pallas-CSR (or plain segment) edge path.
     """
-    if batch_size % n_shards:
-        raise ValueError(f"batch_size {batch_size} not divisible by {n_shards}")
-    per = batch_size // n_shards
-    out = []
+    import dataclasses
+
+    if batch_size % data:
+        raise ValueError(
+            f"batch size {batch_size} not divisible by data axis {data}")
+    per = batch_size // data
     order = np.arange(len(dataset))
     if rng is not None:
         rng.shuffle(order)
-    usable = len(order) - (len(order) % batch_size)
-    for lo in range(0, usable, batch_size):
-        idx = order[lo : lo + batch_size]
-        shards = [
-            dataset.collate(idx[i * per : (i + 1) * per]) for i in range(n_shards)
+    n = len(order)
+    end = n - (n % batch_size) if drop_last else n
+    sharding = NamedSharding(mesh, P("data"))
+    for lo in range(0, end, batch_size):
+        idx = order[lo:lo + batch_size]
+        subs = [
+            dataclasses.replace(
+                dataset.collate(list(idx[d * per:(d + 1) * per])),
+                ek5=None, ek5_groups=None, ek5_group_rows=None)
+            for d in range(data)
         ]
-        out.append(stack_shards(shards))
-    return out
+        stacked = stack_shards(subs) if data > 1 else subs[0]
+        if data > 1:
+            stacked = jax.tree.map(
+                lambda x: jax.device_put(x, sharding)
+                if hasattr(x, "shape") else x,
+                stacked,
+            )
+        yield stacked
+
+

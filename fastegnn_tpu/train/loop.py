@@ -41,9 +41,15 @@ def _run_epoch_train(train_step, state, dataset, batch_size, key, epoch, rng,
     return state, float(np.mean([float(x) for x in losses]))
 
 
-def _run_epoch_eval(eval_step, params, dataset, batch_size, key, epoch):
+def _run_epoch_eval(eval_step, params, dataset, batch_size, key, epoch,
+                    batch_iter_fn=None):
     losses = []
-    for i, batch in enumerate(dataset.iter_batches(batch_size, rng=None)):
+    batches = (
+        batch_iter_fn(dataset, batch_size, rng=None)
+        if batch_iter_fn is not None
+        else dataset.iter_batches(batch_size, rng=None)
+    )
+    for i, batch in enumerate(batches):
         k = jax.random.fold_in(key, epoch * 999_983 + i)
         metrics = eval_step(params, batch, k)
         losses.append(metrics["mse"])
@@ -77,6 +83,8 @@ def train(
     profile_trace_dir: Optional[str] = None,
     train_step_fn=None,
     batch_iter_fn=None,
+    eval_step_fn=None,
+    eval_batch_iter_fn=None,
     eval_model=None,
     shuffle: bool = True,
 ):
@@ -87,20 +95,21 @@ def train(
     reference lacks — it only saves best params, ``utils/train.py:197-208``).
 
     Mesh training (CLI ``--mesh``): pass ``train_step_fn`` (a shard_map-ed
-    step from ``parallel.data_parallel`` / ``parallel.graph_parallel`` with
+    step from ``parallel.data_parallel`` / ``parallel.owner_graph`` with
     the single-device ``step(state, batch, key)`` signature) plus
     ``batch_iter_fn(dataset, batch_size, rng=...)`` yielding mesh-placed
-    stacked batches (``parallel.sharded_batches``).  Evaluation stays
-    single-device on the replicated params (``eval_model`` overrides the
-    eval-time model when the train model was built with a shard axis);
-    checkpoints hold the same replicated params either way, so they are
-    interchangeable across mesh shapes.
+    stacked batches.  Pass ``eval_step_fn`` + ``eval_batch_iter_fn`` to run
+    validation/test under the same mesh (the owner-sharded eval keeps node
+    state O(N/G) end-to-end); without them evaluation falls back to
+    single-device on the replicated params.  Checkpoints hold the same
+    replicated params either way, so they are interchangeable across mesh
+    shapes.
     """
     train_step = train_step_fn or make_train_step(
         model, tx, sigma, weight, sample, per_graph_sampling, use_mmd,
         apply_fn=apply_fn,
     )
-    eval_step = make_eval_step(
+    eval_step = eval_step_fn or make_eval_step(
         eval_model or model, sigma, weight, sample, per_graph_sampling,
         use_mmd, apply_fn=apply_fn,
     )
@@ -162,10 +171,12 @@ def train(
 
         if epoch % test_interval == 0:
             loss_valid = _run_epoch_eval(
-                eval_step, state.params, dataset_valid, batch_size, key, epoch
+                eval_step, state.params, dataset_valid, batch_size, key,
+                epoch, eval_batch_iter_fn,
             )
             loss_test = _run_epoch_eval(
-                eval_step, state.params, dataset_test, batch_size, key, epoch
+                eval_step, state.params, dataset_test, batch_size, key,
+                epoch, eval_batch_iter_fn,
             )
             log_dict["epochs"].append(epoch)
             log_dict["loss"].append(loss_test)

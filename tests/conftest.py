@@ -56,7 +56,7 @@ _SLOW = {
     "tests/test_nbody_sim.py::test_parallel_datagen_worker_invariant",
     "tests/test_model_zoo.py::test_gvp_rotation_equivariance",
     "tests/test_graph_parallel.py::test_owner_sharded_train_step_matches_unsharded",
-    "tests/test_graph_parallel.py::test_gp_train_step_matches_single",
+    "tests/test_graph_parallel.py::test_owner_step_with_data_axis",
     "tests/test_tfn.py::test_fast_tfn_se3_equivariance",
     "tests/test_tfn.py::test_dynamics_equivariance",
     "tests/test_tfn.py::test_pooled_scalar_heads_invariance",

@@ -1,7 +1,9 @@
-"""Graph-parallel (edge/node-sharded) correctness: G shards == 1 device.
+"""Graph-parallel (owner-sharded) correctness: G shards == 1 device.
 
 The core distributed-exactness guarantee (SURVEY.md §4 class (d)): identical
 params, identical batch -> sharded forward/step allclose to single-device.
+One implementation: ``parallel/owner_graph.py`` (O(N/G) owned node state,
+targeted per-pair halo all_to_all, per-shard fused v5 kernels).
 """
 
 import numpy as np
@@ -10,107 +12,34 @@ import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh
 
-from jax.sharding import Mesh
-
-from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
 from fastegnn_tpu.models import FastEGNN
-from fastegnn_tpu.parallel import make_mesh
-from fastegnn_tpu.parallel.graph_parallel import (
-    make_gp_forward,
-    make_gp_train_step,
-    shard_graph_batch,
-)
 from fastegnn_tpu.train import TrainState, torch_adam
-from fastegnn_tpu.train.step import make_train_step
-
-from helpers import random_raw_graph
 
 
-def _build_batch(rng, n_graphs=2, n_nodes=8, pad_edges_to=None):
-    raws = [random_raw_graph(rng, n_nodes) for _ in range(n_graphs)]
-    e = raws[0]["dst"].shape[0]
-    cap = pad_edges_to or e
-    spec = GraphSpec(max_nodes=n_nodes, max_edges=cap, n_graphs=n_graphs,
-                     edge_attr_dim=2)
-    return batch_graphs([pad_graph(spec, **r) for r in raws], spec)
+def test_owner_step_with_data_axis():
+    """2D mesh (data x owner-sharded graph): the composed step the CLI
+    ``--mesh data=D,graph=G`` runs executes and is finite.  Exactness of the
+    composed path vs single-device is covered end-to-end by
+    tests/test_cli_mesh.py::test_cli_mesh_matches_single_device."""
+    from fastegnn_tpu.parallel.owner_graph import (
+        OwnerBatchFactory,
+        make_owner_gp_train_step,
+    )
 
-
-@pytest.mark.parametrize("n_shards", [2, 4])
-def test_gp_forward_matches_single(n_shards):
-    rng = np.random.default_rng(0)
-    # 8 nodes/graph, 2 graphs -> N=16 divisible by 2 and 4;
-    # edge capacity padded to a multiple of n_shards
-    e = 8 * 7
-    cap = ((2 * e) // (2 * n_shards) + 1) * n_shards  # per-graph cap, multiple
-    batch = _build_batch(rng, 2, 8, pad_edges_to=cap)
-
-    model_1 = FastEGNN(hidden=16, virtual_channels=3, n_layers=2)
-    params = model_1.init(jax.random.key(0), batch)["params"]
-    x1, vx1 = model_1.apply({"params": params}, batch)
-
-    mesh = make_mesh((n_shards,), ("graph",), devices=jax.devices()[:n_shards])
-    model_g = FastEGNN(hidden=16, virtual_channels=3, n_layers=2,
-                       shard_axis="graph", shard_axis_size=n_shards)
-    stacked = shard_graph_batch(batch, n_shards)
-    fwd = make_gp_forward(model_g, mesh)
-    xg, vxg = fwd(params, stacked)
-
-    np.testing.assert_allclose(np.asarray(xg), np.asarray(x1), atol=2e-5, rtol=2e-5)
-    np.testing.assert_allclose(np.asarray(vxg), np.asarray(vx1), atol=2e-5, rtol=2e-5)
-
-
-def test_gp_train_step_matches_single():
-    n_shards = 2
-    rng = np.random.default_rng(1)
-    cap = 60  # 2-graph edge capacity 120, divisible by 2
-    batch = _build_batch(rng, 2, 8, pad_edges_to=cap)
-
-    model_1 = FastEGNN(hidden=16, virtual_channels=3, n_layers=2)
-    params = model_1.init(jax.random.key(0), batch)["params"]
-    tx = torch_adam(1e-3)
-
-    single_step = make_train_step(model_1, tx, use_mmd=True, donate=False,
-                                  per_graph_sampling=False)
-    s1 = TrainState.create(params, tx)
-    key = jax.random.key(7)
-    s1, m1 = single_step(s1, batch, key)
-
-    mesh = make_mesh((n_shards,), ("graph",), devices=jax.devices()[:n_shards])
-    model_g = FastEGNN(hidden=16, virtual_channels=3, n_layers=2,
-                       shard_axis="graph", shard_axis_size=n_shards)
-    gp_step = make_gp_train_step(model_g, tx, mesh, use_mmd=True)
-    params_g = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
-    sg = TrainState.create(params_g, tx)
-    sg, mg = gp_step(sg, shard_graph_batch(batch, n_shards), key)
-
-    np.testing.assert_allclose(float(mg["mse"]), float(m1["mse"]), rtol=1e-5)
-    np.testing.assert_allclose(float(mg["mmd"]), float(m1["mmd"]), rtol=1e-4)
-    for a, b in zip(jax.tree.leaves(sg.params), jax.tree.leaves(s1.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
-
-
-def test_gp_with_data_axis():
-    """2D mesh: data x graph — one step runs and is finite."""
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
-    rng = np.random.default_rng(2)
-    cap = 60
-    batches = [_build_batch(rng, 2, 8, pad_edges_to=cap) for _ in range(2)]
-
-    mesh = make_mesh((2, 2), ("data", "graph"), devices=jax.devices()[:4])
-    model_g = FastEGNN(hidden=16, virtual_channels=3, n_layers=1,
-                       shard_axis="graph", shard_axis_size=2)
-    # init with the unsharded twin (identical param tree); shard_axis models
-    # only run inside shard_map
-    params = FastEGNN(hidden=16, virtual_channels=3, n_layers=1).init(
-        jax.random.key(0), batches[0]
-    )["params"]
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("data", "graph"))
+    factory = OwnerBatchFactory(2)
+    batches = [_spatial_batch(n=64, seed=i) for i in range(2)]
+    [factory(b) for b in batches]          # settle capacities
+    subs = [factory(b) for b in batches]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+    params = FastEGNN(hidden=64, virtual_channels=3, n_layers=2).init(
+        jax.random.key(0), batches[0])["params"]
     tx = torch_adam(1e-3)
-    step = make_gp_train_step(model_g, tx, mesh, data_axis="data")
-
-    stacked = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[shard_graph_batch(b, 2) for b in batches]
-    )
+    step = make_owner_gp_train_step(
+        tx, mesh, axis="graph", data_axis="data", n_layers=2)
     state = TrainState.create(params, tx)
     state, metrics = step(state, stacked, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
