@@ -12,12 +12,20 @@ every node — both sides are deterministic given their weight init.
 Usage:
   python scripts/parity_nbody.py --side torch --epochs 300
   python scripts/parity_nbody.py --side jax --epochs 300 [--platform cpu]
+  python scripts/parity_nbody.py --side {torch,jax} --model EGNN|VNEGNN ...
+
+``--model`` generalizes the harness over the zoo (VERDICT r4 item 6): EGNN
+(reference ``models/basic.py``, dispatch ``utils/train.py:66-68``, no MMD)
+and VNEGNN (reference ``models/VNEGNN.py``, dispatch ``utils/train.py:54-56``,
+fibonacci-sphere virtual positions per ``datasets/protein/dataset.py:176-205``
+computed identically on both sides, no MMD).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import time
 
@@ -25,15 +33,49 @@ import numpy as np
 
 DATA = "/root/repo/data/nbody_parity"
 NAME = "5_0_0"  # overridable via --data/--name (e.g. the 3_2_1 composite)
+MODEL = "FastEGNN"
 HP = dict(sigma=1.5, weight=0.01, batch_size=100, lr=5e-4, wd=1e-12,
           hidden=64, channels=3, layers=4, cutoff=0.5, sample=3,
           test_interval=5, early_stop=100)
 
 
+def fibonacci_positions(coords: np.ndarray, samples: int) -> np.ndarray:
+    """[C, 3] fibonacci-sphere virtual positions, the exact reference recipe
+    (``datasets/protein/dataset.py:176-205``: center = coord mean, radius =
+    max distance from center, golden-angle sphere)."""
+    center = coords.mean(axis=0, keepdims=True)
+    radius = np.linalg.norm(coords - center, axis=1).max()
+    phi = math.pi * (math.sqrt(5.0) - 1.0)
+    pts = []
+    for i in range(samples):
+        y = 1 - (i / float(samples - 1)) * 2
+        r = math.sqrt(1 - y * y)
+        theta = phi * i
+        pts.append([math.cos(theta) * r, y, math.sin(theta) * r])
+    return np.asarray(pts, np.float64) * radius + center
+
+
 def load_datasets():
     from fastegnn_tpu.data.nbody import NBodyDataset
 
-    mk = lambda part: NBodyDataset(
+    class FibNBody(NBodyDataset):
+        """Attach per-graph fibonacci virtual positions (VNEGNN)."""
+
+        def collate(self, indices):
+            batch = super().collate(indices)
+            import jax.numpy as jnp
+
+            fib = np.stack([
+                fibonacci_positions(
+                    np.asarray(self.graphs[i]["coord"], np.float64),
+                    HP["channels"]).T
+                for i in indices
+            ])  # [B, 3, C]
+            return batch.replace(
+                virtual_fibonacci=jnp.asarray(fib, jnp.float32))
+
+    cls = FibNBody if MODEL == "VNEGNN" else NBodyDataset
+    mk = lambda part: cls(
         DATA, NAME, partition=part, virtual_channels=HP["channels"],
         cutoff_rate=HP["cutoff"], rotation_seed=43,
     )
@@ -50,12 +92,29 @@ def run_torch(epochs: int, out_json: str):
 
     from fastegnn_tpu.utils.torch_ref import load_reference_module
 
-    mod = load_reference_module("models/FastEGNN.py")
     torch.manual_seed(43)
     np.random.seed(43)
-    model = mod.FastEGNN(node_feat_nf=2, node_attr_nf=0, edge_attr_nf=2,
-                         hidden_nf=HP["hidden"], virtual_channels=HP["channels"],
-                         n_layers=HP["layers"], device="cpu")
+    if MODEL == "FastEGNN":
+        mod = load_reference_module("models/FastEGNN.py")
+        model = mod.FastEGNN(
+            node_feat_nf=2, node_attr_nf=0, edge_attr_nf=2,
+            hidden_nf=HP["hidden"], virtual_channels=HP["channels"],
+            n_layers=HP["layers"], device="cpu")
+    elif MODEL == "EGNN":
+        # main_nbody.py:106-107
+        mod = load_reference_module("models/basic.py")
+        model = mod.EGNN(n_layers=HP["layers"], in_node_nf=2, in_edge_nf=2,
+                         hidden_nf=HP["hidden"], device="cpu", with_v=True)
+    elif MODEL == "VNEGNN":
+        # main_protein.py:126-129
+        mod = load_reference_module("models/VNEGNN.py")
+        model = mod.VNEGNN(
+            node_feat_nf=2, node_attr_nf=0, edge_attr_nf=2,
+            hidden_nf=HP["hidden"], virtual_channels=HP["channels"],
+            n_layers=HP["layers"], device="cpu", residual=True,
+            attention=False, normalize=False, tanh=False)
+    else:
+        raise ValueError(MODEL)
     opt = torch.optim.Adam(model.parameters(), lr=HP["lr"],
                            weight_decay=HP["wd"])
     mse = torch.nn.MSELoss()
@@ -69,7 +128,7 @@ def run_torch(epochs: int, out_json: str):
         for lo in range(0, n - n % bs, bs):
             g = ds.collate(list(range(lo, lo + bs)))
             em = np.asarray(g.edge_mask)
-            batches.append(dict(
+            b = dict(
                 feat=torch.tensor(np.asarray(g.node_feat)),
                 loc=torch.tensor(np.asarray(g.coord)),
                 vel=torch.tensor(np.asarray(g.vel)),
@@ -79,7 +138,12 @@ def run_torch(epochs: int, out_json: str):
                 batch=torch.tensor(np.asarray(g.graph_id)).long(),
                 loc_mean=torch.tensor(np.asarray(g.loc_mean)),
                 target=torch.tensor(np.asarray(g.coord_target)),
-            ))
+            )
+            if g.virtual_fibonacci is not None:
+                # [B, 3, C] -> reference layout [B, C, 3]
+                b["fib"] = torch.tensor(
+                    np.asarray(g.virtual_fibonacci)).permute(0, 2, 1)
+            batches.append(b)
         return batches
 
     btr = to_torch_batches(dtr, HP["batch_size"])
@@ -98,22 +162,36 @@ def run_torch(epochs: int, out_json: str):
         for d in batches:
             opt.zero_grad()
             B = int(d["batch"].max()) + 1
-            pred, vloc = model(node_feat=d["feat"], node_loc=d["loc"],
-                               node_vel=d["vel"], edge_index=d["ei"],
-                               data_batch=d["batch"], loc_mean=d["loc_mean"],
-                               edge_attr=d["ea"])
+            if MODEL == "FastEGNN":
+                pred, vloc = model(
+                    node_feat=d["feat"], node_loc=d["loc"],
+                    node_vel=d["vel"], edge_index=d["ei"],
+                    data_batch=d["batch"], loc_mean=d["loc_mean"],
+                    edge_attr=d["ea"])
+            elif MODEL == "EGNN":
+                # utils/train.py:66-68
+                out = model(x=d["loc"], h=d["feat"], edge_index=d["ei"],
+                            edge_fea=d["ea"], v=d["vel"])
+                pred, vloc = out[0], None
+            elif MODEL == "VNEGNN":
+                # utils/train.py:54-56
+                pred, vloc = model(
+                    node_loc=d["loc"], node_attr=None, node_feat=d["feat"],
+                    edge_index=d["ei"], virtual_node_loc=d["fib"],
+                    data_batch=d["batch"], edge_attr=d["ea"])
             l = mse(pred, d["target"])
             tot += float(l) * B
             cnt += B
-            # fixed-N MMD path (utils/train.py:144-165)
-            v = vloc.permute(0, 2, 1)
-            nl = pred.reshape(B, -1, 3)
-            ns = min(HP["sample"] * C, nl.shape[1])
-            idx = torch.randperm(nl.shape[1])[:ns]
-            nl = nl[:, idx, :]
-            l_vv = torch.sum(kernel(v, v, HP["sigma"])) / B / C / C
-            l_rv = 2 * torch.sum(kernel(nl, v, HP["sigma"])) / B / ns / C
-            l = l + HP["weight"] * (l_vv - l_rv)
+            if MODEL in ("FastEGNN",):  # MMD: Fast* only, utils/train.py:111
+                # fixed-N MMD path (utils/train.py:144-165)
+                v = vloc.permute(0, 2, 1)
+                nl = pred.reshape(B, -1, 3)
+                ns = min(HP["sample"] * C, nl.shape[1])
+                idx = torch.randperm(nl.shape[1])[:ns]
+                nl = nl[:, idx, :]
+                l_vv = torch.sum(kernel(v, v, HP["sigma"])) / B / C / C
+                l_rv = 2 * torch.sum(kernel(nl, v, HP["sigma"])) / B / ns / C
+                l = l + HP["weight"] * (l_vv - l_rv)
             if backprop:
                 l.backward()
                 opt.step()
@@ -154,12 +232,13 @@ def run_jax(epochs: int, out_json: str, platform=None):
 
     if platform:
         jax.config.update("jax_platform_name", platform)
-    from fastegnn_tpu.models import FastEGNN
+    from fastegnn_tpu.models import MMD_MODELS, get_model
     from fastegnn_tpu.train import TrainState, torch_adam, train
 
     dtr, dva, dte = load_datasets()
-    model = FastEGNN(hidden=HP["hidden"], virtual_channels=HP["channels"],
-                     n_layers=HP["layers"])
+    model = get_model(MODEL, hidden=HP["hidden"],
+                      virtual_channels=HP["channels"],
+                      n_layers=HP["layers"])
     example = dtr.collate(list(range(HP["batch_size"])))
     params = jax.jit(model.init)(jax.random.key(43), example)["params"]
     tx = torch_adam(HP["lr"], HP["wd"])
@@ -171,6 +250,7 @@ def run_jax(epochs: int, out_json: str, platform=None):
     best, log, state = train(
         model, state, tx, dtr, dva, dte, batch_size=HP["batch_size"],
         sigma=HP["sigma"], weight=HP["weight"], sample=HP["sample"],
+        use_mmd=MODEL in MMD_MODELS,
         test_interval=HP["test_interval"], early_stop=HP["early_stop"],
         max_epochs=epochs, seed=43, shuffle=False,
         log_directory=os.path.dirname(out_json) or ".",
@@ -192,12 +272,16 @@ if __name__ == "__main__":
                    help="dataset directory (default: the 5_0_0 parity set)")
     p.add_argument("--name", type=str, default=None,
                    help="dataset name, e.g. 3_2_1 for a stick/hinge mix")
+    p.add_argument("--model", type=str, default="FastEGNN",
+                   choices=["FastEGNN", "EGNN", "VNEGNN"])
     a = p.parse_args()
     if a.data:
         DATA = a.data
     if a.name:
         NAME = a.name
-    out = a.out or f"/root/repo/logs/parity_{a.side}.json"
+    MODEL = a.model
+    sfx = "" if a.model == "FastEGNN" else f"_{a.model.lower()}"
+    out = a.out or f"/root/repo/logs/parity{sfx}_{a.side}.json"
 
     os.makedirs(os.path.dirname(out), exist_ok=True)
     if a.side == "torch":
