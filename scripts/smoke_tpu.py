@@ -46,6 +46,37 @@ rb = batch.replace(coord=batch.coord@R+t, vel=batch.vel@R,
 x2, _ = fwd(params, rb)
 err = float(jnp.abs(x2 - (x@R+t)).max())
 log(f"PROBE equivariance max err on TPU: {err:.2e}")
+
+# R,t equivariance pinned per matmul precision (VERDICT r4 item 9).
+# The rotated inputs are built ON HOST in f64 (rotating on-device at
+# default precision rounds the INPUTS to bf16 and shows ~1.5e-2 regardless
+# of model precision — a probe artifact, not model error; the rb probe
+# above keeps that legacy on-device construction for continuity).
+import contextlib
+Rn = np.asarray(R, np.float64); tn = np.asarray(t, np.float64)
+rot = lambda a: jnp.asarray(np.asarray(a, np.float64) @ Rn + tn, jnp.float32)
+rotv = lambda a: jnp.asarray(np.asarray(a, np.float64) @ Rn, jnp.float32)
+lm = jnp.asarray(
+    np.einsum("ji,bjc->bic", Rn, np.asarray(batch.loc_mean, np.float64))
+    + tn[None, :, None], jnp.float32)
+rbh = batch.replace(coord=rot(batch.coord), vel=rotv(batch.vel),
+                    coord_target=rot(batch.coord_target), loc_mean=lm)
+for label, prec, cd in [
+    ("f32/default", None, None),
+    ("f32/highest", "highest", None),
+    ("bf16/default", None, "bfloat16"),
+]:
+    m = (model if cd is None
+         else get_model("FastEGNN", hidden=64, virtual_channels=3,
+                        n_layers=4, compute_dtype=cd))
+    ctx = (jax.default_matmul_precision(prec) if prec
+           else contextlib.nullcontext())
+    with ctx:
+        f = jax.jit(lambda p, g: m.apply({"params": p}, g)[0])
+        y, y2 = np.asarray(f(params, batch)), np.asarray(f(params, rbh))
+    e = float(np.abs(y2.astype(np.float64)
+                     - (y.astype(np.float64) @ Rn + tn)).max())
+    log(f"PROBE equivariance [{label}]: max |f(GR+t) - f(G)R-t| = {e:.2e}")
 try:
     pad_graph(GraphSpec(max_nodes=5, max_edges=10, n_graphs=1), node_feat=np.zeros((9,2)),
               coord=np.zeros((9,3)), vel=np.zeros((9,3)), dst=np.zeros(3), src=np.zeros(3),
