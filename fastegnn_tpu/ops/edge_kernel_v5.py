@@ -296,22 +296,32 @@ def make_v5_meta(
 
 
 def build_tab_v5(h, x, W1, b1, cd, n_seg_pad):
-    """[n_seg_pad, 256] node table, dst role cols 0:128, src role 128:256."""
+    """[n_seg_pad, 256] node table, dst role cols 0:128, src role 128:256.
+
+    Assembled as ONE [n_seg_pad, 70] x [70, 256] matmul instead of a
+    12-piece concatenate: the concat materialised 4 extra MB per layer and
+    showed up as ~0.05 ms/layer of pure-copy XLA ops in the round-4 step
+    trace; the big-weight dot writes the table once, with the +-x_hi/x_lo
+    columns riding exact 1.0/-1.0 rows (bf16 * 1.0 products accumulate
+    exactly in f32)."""
     N = h.shape[0]
-    hc = h.astype(cd)
-    Ud = jax.lax.dot_general(
-        hc, W1[0:H_MAX].astype(cd), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1
-    Us = jax.lax.dot_general(
-        hc, W1[H_MAX:2 * H_MAX].astype(cd), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    x_hi = x.astype(cd).astype(jnp.float32)
-    x_lo = x - x_hi
-    z5 = jnp.zeros((N, 5), jnp.float32)
-    z48 = jnp.zeros((N, 48), jnp.float32)
-    tab = jnp.concatenate(
-        [Ud, x_hi, z5, x_lo, z5, z48, Us, -x_hi, z5, -x_lo, z5, z48], axis=1)
-    tab = jnp.pad(tab, ((0, n_seg_pad - N), (0, 0)))
+    H = H_MAX
+    x_hi = x.astype(cd)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(cd)
+    inall = jnp.concatenate([h.astype(cd), x_hi, x_lo], axis=1)  # [N, 70]
+    inall = jnp.pad(inall, ((0, n_seg_pad - N), (0, 0)))
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    BigW = jnp.zeros((H + 6, 256), jnp.float32)
+    BigW = BigW.at[0:H, 0:H].set(W1[0:H])            # Ud = h W1_dst
+    BigW = BigW.at[0:H, 128:128 + H].set(W1[H:2 * H])  # Us = h W1_src
+    BigW = BigW.at[H:H + 3, H:H + 3].set(eye3)         # +x_hi (dst role)
+    BigW = BigW.at[H + 3:, H + 8:H + 11].set(eye3)     # +x_lo
+    BigW = BigW.at[H:H + 3, 128 + H:128 + H + 3].set(-eye3)   # -x_hi (src)
+    BigW = BigW.at[H + 3:, 128 + H + 8:128 + H + 11].set(-eye3)
+    brow = jnp.zeros((256,), jnp.float32).at[0:H].set(b1)
+    tab = jax.lax.dot_general(
+        inall, BigW.astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + brow
     return tab.astype(cd)
 
 
@@ -480,10 +490,10 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
                     W, D, S, cd)
         gs.append(f)
         o = pl.multiple_of(dw0_ref[cg], 8)
-        dout_c = dout_ref[pl.ds(o, D), :].astype(cd)     # [D, 128f]
+        dout_c = dout_ref[pl.ds(o, D), :]                # [D, 72] cd
         des.append(jax.lax.dot_general(
             dout_c, f["PdT"], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))         # [128f, chunk]
+            preferred_element_type=jnp.float32))         # [72f, chunk]
     bigT = jnp.concatenate([f["bigT"] for f in gs], axis=1)
     ea_z1T = jnp.concatenate([f["ea_z1T"] for f in gs], axis=1)
     deT = jnp.concatenate(des, axis=1)
@@ -601,8 +611,8 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G, D, S,
                     pl.BlockSpec((8, G * chunk),
                                  lambda c, sdb, w0, dw0: (0, c)),
                     pl.BlockSpec(
-                        (S * ROWS, 128),
-                        lambda c, sdb, w0, dw0: (sdb[c], 0)),  # dout
+                        (S * ROWS, 72),
+                        lambda c, sdb, w0, dw0: (sdb[c], 0)),  # dout (cd)
                 ],
                 out_specs=(
                     pl.BlockSpec(
@@ -669,12 +679,16 @@ def fused_edge_block_v5(
     def bwd(res, g):
         h, tab, wp, eW, vpc, W1 = res
         d_msum, d_tsum = g
-        dt8 = jnp.pad(d_tsum.astype(jnp.float32), ((0, 0), (0, 5)))
-        dout = (
-            jnp.zeros((n_seg_pad, 128), jnp.float32)
-            .at[:N, 0:H].set(d_msum.astype(jnp.float32))
-            .at[:N, H:H + 8].set(dt8)
-        )
+        # compact cd-dtype upstream-grad table [n_seg_pad, 72]: cols 0:64
+        # d_msum, 64:72 d_tsum (the kernel cast dout to cd anyway; building
+        # it in cd halves the stream bytes and replaces the round-4 trace's
+        # 0.05 ms/layer dynamic-update-slice with a pad)
+        dout = jnp.pad(
+            jnp.concatenate(
+                [d_msum.astype(cd),
+                 jnp.pad(d_tsum.astype(jnp.float32), ((0, 0), (0, 5))
+                         ).astype(cd)], axis=1),
+            ((0, n_seg_pad - N), (0, 0)))
         daccd, daccs, dw = _bwd_impl(
             meta_arrs, wp, eW, vpc, tab, idsx, dout,
             chunk, W, G, D, S, n_seg_pad, interpret)
