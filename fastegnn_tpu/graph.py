@@ -241,12 +241,14 @@ def batch_graphs(
     edge_align: int = 1024,
     csr_rows: int = 128,
     # v5 packing defaults from the on-chip sweeps (scripts/r3_sweep.py,
-    # scripts/r4_sblock_time.py, Water-3D bench geometry): c128/W1/G16/D64
-    # with S=8 dst superblocks — S8 cuts slot padding 19.3% -> 9.8% at zero
-    # per-slot cost (train step 12.25 -> 11.18 ms, round-4 measurement)
+    # scripts/r4_sblock_time.py, scripts/kernel_time.py r5 passes, Water-3D
+    # bench geometry): c128/W1/G32/D64/S8 — S8 cuts slot padding 19.3% ->
+    # 9.8% at zero per-slot cost; G32 re-won the round-5 sweep after the
+    # 80-col role tables shrank the streamed working set (fwd 0.38 /
+    # bwd 1.13 ms/layer vs 0.46/1.17 at G16)
     ek5_chunk: int = 128,
     ek5_window: int = 1,
-    ek5_super: int = 16,
+    ek5_super: int = 32,
     ek5_dwin: int = 64,
     ek5_sblocks: int = 8,
 ) -> GraphBatch:

@@ -296,14 +296,17 @@ def make_v5_meta(
 
 
 def build_tab_v5(h, x, W1, b1, cd, n_seg_pad):
-    """[n_seg_pad, 256] node table, dst role cols 0:128, src role 128:256.
+    """Two [n_seg_pad, 80] role tables: dst = [Ud | x_hi | x_lo], src =
+    [Us | -x_hi | -x_lo] (coordinate blocks 8-row-aligned at 64 and 72).
 
-    Assembled as ONE [n_seg_pad, 70] x [70, 256] matmul instead of a
+    Assembled as ONE [n_seg_pad, 70] x [70, 160] matmul instead of a
     12-piece concatenate: the concat materialised 4 extra MB per layer and
     showed up as ~0.05 ms/layer of pure-copy XLA ops in the round-4 step
-    trace; the big-weight dot writes the table once, with the +-x_hi/x_lo
+    trace; the big-weight dot writes the tables once, with the +-x_hi/x_lo
     columns riding exact 1.0/-1.0 rows (bf16 * 1.0 products accumulate
-    exactly in f32)."""
+    exactly in f32).  80-column roles (vs the 128-col roles of v5.0, which
+    carried 48 zero columns) cut the in-kernel gather-dot streaming and the
+    chain's vector-register footprint ~37%."""
     N = h.shape[0]
     H = H_MAX
     x_hi = x.astype(cd)
@@ -311,28 +314,30 @@ def build_tab_v5(h, x, W1, b1, cd, n_seg_pad):
     inall = jnp.concatenate([h.astype(cd), x_hi, x_lo], axis=1)  # [N, 70]
     inall = jnp.pad(inall, ((0, n_seg_pad - N), (0, 0)))
     eye3 = jnp.eye(3, dtype=jnp.float32)
-    BigW = jnp.zeros((H + 6, 256), jnp.float32)
-    BigW = BigW.at[0:H, 0:H].set(W1[0:H])            # Ud = h W1_dst
-    BigW = BigW.at[0:H, 128:128 + H].set(W1[H:2 * H])  # Us = h W1_src
-    BigW = BigW.at[H:H + 3, H:H + 3].set(eye3)         # +x_hi (dst role)
-    BigW = BigW.at[H + 3:, H + 8:H + 11].set(eye3)     # +x_lo
-    BigW = BigW.at[H:H + 3, 128 + H:128 + H + 3].set(-eye3)   # -x_hi (src)
-    BigW = BigW.at[H + 3:, 128 + H + 8:128 + H + 11].set(-eye3)
-    brow = jnp.zeros((256,), jnp.float32).at[0:H].set(b1)
-    tab = jax.lax.dot_general(
-        inall, BigW.astype(cd), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + brow
-    return tab.astype(cd)
+
+    def role(Wrole, sign, bias):
+        Bw = jnp.zeros((H + 6, 80), jnp.float32)
+        Bw = Bw.at[0:H, 0:H].set(Wrole)                    # U = h W1_role
+        Bw = Bw.at[H:H + 3, H:H + 3].set(sign * eye3)      # x_hi at 64:67
+        Bw = Bw.at[H + 3:, H + 8:H + 11].set(sign * eye3)  # x_lo at 72:75
+        out = jax.lax.dot_general(
+            inall, Bw.astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + jnp.pad(bias, (0, 80 - H))
+        return out.astype(cd)
+
+    return role(W1[0:H], 1.0, b1), role(W1[H:2 * H], -1.0, None)
 
 
 def pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, fe, cd):
     """wp [256, 64]: W1d | W1s | W2 | Wg1 rows (all [in, out]);
-    eW [6, 128]: W1 edge-attr rows (cols 0:64);
+    eW [6, 64]: W1 edge-attr rows;
     vpc [64, 8] f32 columns: 0 w1r | 1 wg2 | 2 b2 | 3 bg1."""
     H = H_MAX
     wp = jnp.concatenate([W1[0:H], W1[H:2 * H], W2, Wg1], axis=0).astype(cd)
-    eW = jnp.zeros((EA_ROWS, 128), jnp.float32)
-    eW = eW.at[0:fe, 0:H].set(W1[2 * H + 1:])
+    eW = jnp.zeros((EA_ROWS, H), jnp.float32)
+    eW = eW.at[0:fe].set(W1[2 * H + 1:])
     vpc = jnp.zeros((H, 8), jnp.float32)
     vpc = vpc.at[:, 0].set(W1[2 * H])
     vpc = vpc.at[:, 1].set(wg2[:, 0])
@@ -346,9 +351,9 @@ def pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, fe, cd):
 # ---------------------------------------------------------------------------
 
 
-def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg, W, D,
-            S, cd):
-    """One-hot gather dots for one chunk; returns bigT [128, chunk] f32
+def _gather(tabd_ref, tabs_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c,
+            cg, W, D, S, cd):
+    """One-hot gather dots for one chunk; returns bigT [80, chunk] f32
     (rows 0:64 Ud[dst]+Us[src], 64:72 hi(xd-xs), 72:80 lo) + masks.
     The dst one-hot covers only the chunk's D-row dst window."""
     chunk = blk.shape[1]
@@ -358,10 +363,9 @@ def _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg, W, D,
     PdT = (iota_d == dl).astype(cd)
     PsT = (iota_s == gl).astype(cd)
     eaT = jax.lax.bitcast_convert_type(blk[2:8, :], jnp.float32).astype(cd)
-    td = tab_ref[
-        pl.ds(pl.multiple_of(sdb_ref[c] * (S * ROWS) + dw0_ref[cg], 8), D),
-        0:128]
-    tw = tab_ref[pl.ds(w0_ref[cg] * ROWS, W * ROWS), 128:256]
+    td = tabd_ref[
+        pl.ds(pl.multiple_of(sdb_ref[c] * (S * ROWS) + dw0_ref[cg], 8), D), :]
+    tw = tabs_ref[pl.ds(w0_ref[cg] * ROWS, W * ROWS), :]
     bigT = jax.lax.dot_general(
         td, PdT, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -387,7 +391,7 @@ def _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd):
     diff = bigT[64:72] + bigT[72:80]                      # [8, R] f32 exact
     radial = jnp.sum(diff * diff, axis=0, keepdims=True)  # [1, R]
     z1 = (bigT[0:H] + jnp.broadcast_to(radial, (H, radial.shape[1]))
-          * vpc[:, 0:1] + ea_z1T[0:H]).astype(cd)
+          * vpc[:, 0:1] + ea_z1T).astype(cd)
     a1, s1 = _silu_f32(z1)
     z2 = (jax.lax.dot_general(
         wp[2 * H:3 * H], a1, (((0,), (0,)), ((), ())),
@@ -434,7 +438,8 @@ def _chain_bwd(w, deT, wp_ref, vpc_ref, cd):
 
 
 def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
-                tab_ref, idsx_ref, out_ref, *, G, W, D, S, cd, chunk):
+                tabd_ref, tabs_ref, idsx_ref, out_ref, *, G, W, D, S, cd,
+                chunk):
     c = pl.program_id(0)
     first = jnp.logical_or(
         c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
@@ -444,7 +449,7 @@ def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     gs = [
-        _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref,
+        _gather(tabd_ref, tabs_ref, eW_ref, sdb_ref, w0_ref, dw0_ref,
                 idsx_ref[:, g * chunk:(g + 1) * chunk], c, c * G + g, W, D,
                 S, cd)
         for g in range(G)
@@ -453,9 +458,7 @@ def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
     ea_z1T = jnp.concatenate([f["ea_z1T"] for f in gs], axis=1)
     w = _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd)
     t_hi, t_lo = _hi_lo(w["trans"], cd)
-    scat_T = jnp.concatenate(
-        [w["m"], t_hi, t_lo,
-         jnp.zeros((128 - H_MAX - 16, w["m"].shape[1]), cd)], axis=0)
+    scat_T = jnp.concatenate([w["m"], t_hi, t_lo], axis=0)   # [80, R]
     for g in range(G):
         d = jax.lax.dot_general(
             gs[g]["PdT"], scat_T[:, g * chunk:(g + 1) * chunk],
@@ -465,7 +468,7 @@ def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
 
 
 def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
-                tab_ref, idsx_ref, dout_ref,
+                tabd_ref, tabs_ref, idsx_ref, dout_ref,
                 daccd_ref, daccs_ref, dw_ref, *, G, W, D, S, cd, chunk):
     H = H_MAX
     c = pl.program_id(0)
@@ -486,8 +489,8 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
     for g in range(G):
         cg = c * G + g
         blk = idsx_ref[:, g * chunk:(g + 1) * chunk]
-        f = _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c, cg,
-                    W, D, S, cd)
+        f = _gather(tabd_ref, tabs_ref, eW_ref, sdb_ref, w0_ref, dw0_ref,
+                    blk, c, cg, W, D, S, cd)
         gs.append(f)
         o = pl.multiple_of(dw0_ref[cg], 8)
         dout_c = dout_ref[pl.ds(o, D), :]                # [D, 72] cd
@@ -502,9 +505,7 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
 
     d_z1_c = b["d_z1"].astype(cd)
     dhi, dlo = _hi_lo(b["d_diff"], cd)
-    dstuff = jnp.concatenate(
-        [d_z1_c, dhi, dlo,
-         jnp.zeros((128 - H - 16, d_z1_c.shape[1]), cd)], axis=0)
+    dstuff = jnp.concatenate([d_z1_c, dhi, dlo], axis=0)   # [80, R]
 
     # dst-role scatter into the streamed per-block accumulator
     for g in range(G):
@@ -557,11 +558,11 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
     jax.jit,
     static_argnames=("chunk", "W", "G", "D", "S", "n_seg_pad",
                      "interpret"))
-def _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, chunk, W, G, D, S,
+def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
               n_seg_pad, interpret):
     sdb, w0, dw0 = meta_arrs
     n_super = sdb.shape[0]
-    cd = tab.dtype
+    cd = tabd.dtype
     prec = "highest" if cd == jnp.float32 else "default"
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
@@ -574,27 +575,28 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, chunk, W, G, D, S,
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # eW
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # vpc
-                    pl.BlockSpec(memory_space=pltpu.VMEM),   # tab (resident)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # tabd (resident)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # tabs (resident)
                     pl.BlockSpec((8, G * chunk),
                                  lambda c, sdb, w0, dw0: (0, c)),
                 ],
                 out_specs=pl.BlockSpec(
-                    (S * ROWS, 128), lambda c, sdb, w0, dw0: (sdb[c], 0)),
+                    (S * ROWS, 80), lambda c, sdb, w0, dw0: (sdb[c], 0)),
             ),
-            out_shape=jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_seg_pad, 80), jnp.float32),
             interpret=interpret,
-        )(sdb, w0, dw0, wp, eW, vpc, tab, idsx)
+        )(sdb, w0, dw0, wp, eW, vpc, tabd, tabs, idsx)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("chunk", "W", "G", "D", "S", "n_seg_pad",
                      "interpret"))
-def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G, D, S,
-              n_seg_pad, interpret):
+def _bwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout, chunk, W, G,
+              D, S, n_seg_pad, interpret):
     sdb, w0, dw0 = meta_arrs
     n_super = sdb.shape[0]
-    cd = tab.dtype
+    cd = tabd.dtype
     prec = "highest" if cd == jnp.float32 else "default"
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
@@ -607,7 +609,8 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G, D, S,
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # eW
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # vpc
-                    pl.BlockSpec(memory_space=pltpu.VMEM),   # tab (resident)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # tabd (resident)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # tabs (resident)
                     pl.BlockSpec((8, G * chunk),
                                  lambda c, sdb, w0, dw0: (0, c)),
                     pl.BlockSpec(
@@ -616,19 +619,19 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tab, idsx, dout, chunk, W, G, D, S,
                 ],
                 out_specs=(
                     pl.BlockSpec(
-                        (S * ROWS, 128),
+                        (S * ROWS, 80),
                         lambda c, sdb, w0, dw0: (sdb[c], 0)),  # daccd
                     pl.BlockSpec(memory_space=pltpu.VMEM),     # daccs
                     pl.BlockSpec(memory_space=pltpu.VMEM),     # dw
                 ),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
-                jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_seg_pad, 80), jnp.float32),
+                jax.ShapeDtypeStruct((n_seg_pad, 80), jnp.float32),
                 jax.ShapeDtypeStruct((144, 64), jnp.float32),
             ),
             interpret=interpret,
-        )(sdb, w0, dw0, wp, eW, vpc, tab, idsx, dout)
+        )(sdb, w0, dw0, wp, eW, vpc, tabd, tabs, idsx, dout)
 
 
 # ---------------------------------------------------------------------------
@@ -668,16 +671,16 @@ def fused_edge_block_v5(
         return fwd(h, x, W1, b1, W2, b2, Wg1, bg1, wg2)[0]
 
     def fwd(h, x, W1, b1, W2, b2, Wg1, bg1, wg2):
-        tab = build_tab_v5(h, x, W1, b1, cd, n_seg_pad)
+        tabd, tabs = build_tab_v5(h, x, W1, b1, cd, n_seg_pad)
         wp, eW, vpc = pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, Fe, cd)
-        out = _fwd_impl(meta_arrs, wp, eW, vpc, tab, idsx,
+        out = _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx,
                         chunk, W, G, D, S, n_seg_pad, interpret)
         m_sum = out[:N, 0:H]
         t_sum = (out[:N, H:H + 8] + out[:N, H + 8:H + 16])[:, 0:3]
-        return (m_sum, t_sum), (h, tab, wp, eW, vpc, W1)
+        return (m_sum, t_sum), (h, tabd, tabs, wp, eW, vpc, W1)
 
     def bwd(res, g):
-        h, tab, wp, eW, vpc, W1 = res
+        h, tabd, tabs, wp, eW, vpc, W1 = res
         d_msum, d_tsum = g
         # compact cd-dtype upstream-grad table [n_seg_pad, 72]: cols 0:64
         # d_msum, 64:72 d_tsum (the kernel cast dout to cd anyway; building
@@ -690,7 +693,7 @@ def fused_edge_block_v5(
                          ).astype(cd)], axis=1),
             ((0, n_seg_pad - N), (0, 0)))
         daccd, daccs, dw = _bwd_impl(
-            meta_arrs, wp, eW, vpc, tab, idsx, dout,
+            meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout,
             chunk, W, G, D, S, n_seg_pad, interpret)
         # epilogue: per-node dUd/dUs -> dh, dW1, db1 (three XLA matmuls)
         dUd = daccd[:N, 0:H]

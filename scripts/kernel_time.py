@@ -46,14 +46,20 @@ def main():
     ov = min(overhead() for _ in range(3))
     print(f"overhead {ov*1e3:.1f} ms", flush=True)
 
-    def timed(label, fn, n=50):
+    def timed(label, fn, n=50, reps=3):
+        # min over reps: the tunnel/pool adds multiplicative noise spikes
+        # (observed +-20% between identical runs); min is the honest
+        # estimate of uncontended device time
         r = fn()
         float(jnp.ravel(jax.tree.leaves(r)[0])[0].astype(jnp.float32))
-        t0 = time.perf_counter()
-        for _ in range(n):
-            r = fn()
-        float(jnp.ravel(jax.tree.leaves(r)[0])[0].astype(jnp.float32))
-        dt = max(time.perf_counter() - t0 - ov, 1e-9) / n * 1e3
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn()
+            float(jnp.ravel(jax.tree.leaves(r)[0])[0].astype(jnp.float32))
+            best = min(best, max(time.perf_counter() - t0 - ov, 1e-9) / n)
+        dt = best * 1e3
         print(f"{label:<44s} {dt:8.3f} ms", flush=True)
         return dt
 
@@ -70,6 +76,29 @@ def main():
         (128, 1, 8, 32, 8),
         (128, 1, 16, 32, 16),
     ] if "r4c" in sys.argv[1:] else [
+        (128, 1, 16, 64, 8),
+        (128, 1, 32, 64, 8),
+        (128, 1, 32, 64, 16),
+        (128, 1, 16, 64, 16),
+        (128, 1, 8, 64, 8),
+        (256, 1, 8, 64, 8),
+        (128, 1, 16, 128, 8),
+    ] if "r5f" in sys.argv[1:] else [
+        (128, 1, 16, 64, 8),
+        (128, 1, 32, 64, 8),
+        (128, 1, 32, 64, 16),
+        (128, 1, 16, 64, 8),
+        (128, 1, 32, 64, 8),
+        (128, 1, 32, 64, 16),
+    ] if "r5b" in sys.argv[1:] else [
+        (128, 1, 16, 64, 8),
+        (128, 1, 32, 128, 8),
+        (128, 1, 32, 128, 16),
+        (128, 1, 16, 128, 16),
+        (128, 1, 64, 128, 16),
+        (128, 2, 32, 128, 16),
+        (256, 1, 16, 128, 8),
+    ] if "r5a" in sys.argv[1:] else [
         (128, 1, 16, 64, 1),
         (128, 1, 16, 64, 4),
         (128, 1, 16, 64, 8),
