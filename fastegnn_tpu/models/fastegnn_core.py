@@ -27,11 +27,41 @@ unsharded (plain takes / masked pools), one-hot-MXU (bf16 path), or inside
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_rows_f32(table, gid, n_rows):
+    """Per-graph row take whose TRANSPOSE is a segment-sum, not a scatter.
+
+    ``jnp.take``'s autodiff transpose lowers to an XLA scatter-add, which
+    costs ~0.08 ms per instance on TPU for a [n, 9] -> [B, 9] reduction
+    (round-5 step trace: three such fusions = 0.23 ms/step).  The same
+    ids-sorted reduction as ``segment_sum`` is ~free."""
+    return jnp.take(table, gid, axis=0, mode="clip")
+
+
+def _take_rows_fwd(table, gid, n_rows):
+    return take_rows_f32(table, gid, n_rows), (gid,)
+
+
+def _take_rows_bwd(n_rows, res, g):
+    (gid,) = res
+    ids = jnp.minimum(gid, n_rows - 1)  # match take's clip semantics
+    # one-hot MXU reduction: jax.ops.segment_sum lowers to the same XLA
+    # scatter-add this vjp exists to avoid
+    onehot = (ids[:, None] == jnp.arange(n_rows)[None, :]).astype(g.dtype)
+    d = jax.lax.dot_general(onehot, g, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return (d.astype(g.dtype), None)
+
+
+take_rows_f32.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
 @dataclass(frozen=True)
@@ -189,8 +219,8 @@ def virtual_and_node_update(
 
     # geometry vs virtual nodes: positions stay f32 — plain row-take even on
     # the one-hot/bf16 path (the MXU take would silently downcast coords)
-    vx_n = jnp.take(
-        vx.reshape(B, C * 3).astype(jnp.float32), gid_l, axis=0, mode="clip"
+    vx_n = take_rows_f32(
+        vx.reshape(B, C * 3).astype(jnp.float32), gid_l, B
     )
     vdiff = vx_n - jnp.tile(x_l, (1, C))               # [n, 3C]
     # CHANNEL-UNROLLED layout discipline: TPU tiled layouts make every
@@ -350,7 +380,7 @@ def make_take_pool(
             return s * inv_cnt[:, None]
     else:
         def take(zb):
-            return jnp.take(zb, gid_l, axis=0, mode="clip")
+            return take_rows_f32(zb, gid_l, n_graphs)
 
         def pool(z):
             return graph_mean_pool(z, gid_l, n_graphs, nmask_l, axis=axis)
