@@ -439,7 +439,7 @@ def _chain_bwd(w, deT, wp_ref, vpc_ref, cd):
 
 def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
                 tabd_ref, tabs_ref, idsx_ref, out_ref, *, G, W, D, S, cd,
-                chunk):
+                chunk, splits=1):
     c = pl.program_id(0)
     first = jnp.logical_or(
         c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
@@ -448,28 +448,35 @@ def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    gs = [
-        _gather(tabd_ref, tabs_ref, eW_ref, sdb_ref, w0_ref, dw0_ref,
-                idsx_ref[:, g * chunk:(g + 1) * chunk], c, c * G + g, W, D,
-                S, cd)
-        for g in range(G)
-    ]
-    bigT = jnp.concatenate([f["bigT"] for f in gs], axis=1)
-    ea_z1T = jnp.concatenate([f["ea_z1T"] for f in gs], axis=1)
-    w = _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd)
-    t_hi, t_lo = _hi_lo(w["trans"], cd)
-    scat_T = jnp.concatenate([w["m"], t_hi, t_lo], axis=0)   # [80, R]
-    for g in range(G):
-        d = jax.lax.dot_general(
-            gs[g]["PdT"], scat_T[:, g * chunk:(g + 1) * chunk],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        o = pl.multiple_of(dw0_ref[c * G + g], 8)
-        out_ref[pl.ds(o, D), :] += d
+    # splits > 1 processes the superchunk in independent sub-pipelines so
+    # the Mosaic scheduler can overlap one slice's MXU scatter dots with the
+    # next slice's VPU chain
+    P = G // splits
+    for s in range(splits):
+        grange = range(s * P, (s + 1) * P)
+        gs = [
+            _gather(tabd_ref, tabs_ref, eW_ref, sdb_ref, w0_ref, dw0_ref,
+                    idsx_ref[:, g * chunk:(g + 1) * chunk], c, c * G + g, W,
+                    D, S, cd)
+            for g in grange
+        ]
+        bigT = jnp.concatenate([f["bigT"] for f in gs], axis=1)
+        ea_z1T = jnp.concatenate([f["ea_z1T"] for f in gs], axis=1)
+        w = _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd)
+        t_hi, t_lo = _hi_lo(w["trans"], cd)
+        scat_T = jnp.concatenate([w["m"], t_hi, t_lo], axis=0)   # [80, R]
+        for i, g in enumerate(grange):
+            d = jax.lax.dot_general(
+                gs[i]["PdT"], scat_T[:, i * chunk:(i + 1) * chunk],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            o = pl.multiple_of(dw0_ref[c * G + g], 8)
+            out_ref[pl.ds(o, D), :] += d
 
 
 def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
                 tabd_ref, tabs_ref, idsx_ref, dout_ref,
-                daccd_ref, daccs_ref, dw_ref, *, G, W, D, S, cd, chunk):
+                daccd_ref, daccs_ref, dw_ref, *, G, W, D, S, cd, chunk,
+                splits=1):
     H = H_MAX
     c = pl.program_id(0)
     first = jnp.logical_or(
@@ -484,69 +491,75 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
     def _():
         daccd_ref[:] = jnp.zeros_like(daccd_ref)
 
-    gs = []
-    des = []
-    for g in range(G):
-        cg = c * G + g
-        blk = idsx_ref[:, g * chunk:(g + 1) * chunk]
-        f = _gather(tabd_ref, tabs_ref, eW_ref, sdb_ref, w0_ref, dw0_ref,
-                    blk, c, cg, W, D, S, cd)
-        gs.append(f)
-        o = pl.multiple_of(dw0_ref[cg], 8)
-        dout_c = dout_ref[pl.ds(o, D), :]                # [D, 72] cd
-        des.append(jax.lax.dot_general(
-            dout_c, f["PdT"], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))         # [72f, chunk]
-    bigT = jnp.concatenate([f["bigT"] for f in gs], axis=1)
-    ea_z1T = jnp.concatenate([f["ea_z1T"] for f in gs], axis=1)
-    deT = jnp.concatenate(des, axis=1)
-    w = _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd)
-    b = _chain_bwd(w, deT, wp_ref, vpc_ref, cd)
+    P = G // splits
+    dw_acc = None
+    for s in range(splits):
+        grange = range(s * P, (s + 1) * P)
+        gs = []
+        des = []
+        for g in grange:
+            cg = c * G + g
+            blk = idsx_ref[:, g * chunk:(g + 1) * chunk]
+            f = _gather(tabd_ref, tabs_ref, eW_ref, sdb_ref, w0_ref,
+                        dw0_ref, blk, c, cg, W, D, S, cd)
+            gs.append(f)
+            o = pl.multiple_of(dw0_ref[cg], 8)
+            dout_c = dout_ref[pl.ds(o, D), :]                # [D, 72] cd
+            des.append(jax.lax.dot_general(
+                dout_c, f["PdT"], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))         # [72f, chunk]
+        bigT = jnp.concatenate([f["bigT"] for f in gs], axis=1)
+        ea_z1T = jnp.concatenate([f["ea_z1T"] for f in gs], axis=1)
+        deT = jnp.concatenate(des, axis=1)
+        w = _chain_fwd(bigT, ea_z1T, wp_ref, vpc_ref, cd)
+        b = _chain_bwd(w, deT, wp_ref, vpc_ref, cd)
 
-    d_z1_c = b["d_z1"].astype(cd)
-    dhi, dlo = _hi_lo(b["d_diff"], cd)
-    dstuff = jnp.concatenate([d_z1_c, dhi, dlo], axis=0)   # [80, R]
+        d_z1_c = b["d_z1"].astype(cd)
+        dhi, dlo = _hi_lo(b["d_diff"], cd)
+        dstuff = jnp.concatenate([d_z1_c, dhi, dlo], axis=0)   # [80, R]
 
-    # dst-role scatter into the streamed per-block accumulator
-    for g in range(G):
-        d = jax.lax.dot_general(
-            gs[g]["PdT"], dstuff[:, g * chunk:(g + 1) * chunk],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        o = pl.multiple_of(dw0_ref[c * G + g], 8)
-        daccd_ref[pl.ds(o, D), :] += d
+        # dst-role scatter into the streamed per-block accumulator
+        for i, g in enumerate(grange):
+            d = jax.lax.dot_general(
+                gs[i]["PdT"], dstuff[:, i * chunk:(i + 1) * chunk],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            o = pl.multiple_of(dw0_ref[c * G + g], 8)
+            daccd_ref[pl.ds(o, D), :] += d
 
-    # src-role scatter: resident accumulator, RMW per chunk
-    for g in range(G):
-        cg = c * G + g
-        dsw = jax.lax.dot_general(
-            gs[g]["PsT"], dstuff[:, g * chunk:(g + 1) * chunk],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [W*128, 128]
-        o = pl.multiple_of(w0_ref[cg] * ROWS, ROWS)
-        daccs_ref[pl.ds(o, W * ROWS), :] += dsw
+        # src-role scatter: resident accumulator, RMW per chunk
+        for i, g in enumerate(grange):
+            cg = c * G + g
+            dsw = jax.lax.dot_general(
+                gs[i]["PsT"], dstuff[:, i * chunk:(i + 1) * chunk],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [W*128, 80]
+            o = pl.multiple_of(w0_ref[cg] * ROWS, ROWS)
+            daccs_ref[pl.ds(o, W * ROWS), :] += dsw
 
-    # wide weight grads: rows 0:64 dW2 | 64:128 dWg1 | 128:134 dW1e |
-    # 134 dw1r | 135 dwg2 | 136 db2 | 137 dbg1 (cols 0:64)
-    dW2 = jax.lax.dot_general(
-        w["a1"], b["d_z2_c"], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dWg1 = jax.lax.dot_general(
-        w["m"], b["d_zg_c"], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    eaT = jnp.concatenate([f["eaT"] for f in gs], axis=1)
-    dW1e = jax.lax.dot_general(
-        eaT, d_z1_c, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dw1r = jax.lax.dot_general(
-        w["radial"].astype(cd), d_z1_c, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    g1dg = w["g1"] * jnp.broadcast_to(b["d_gate"], w["g1"].shape)
-    dwg2 = jnp.sum(g1dg, axis=1, keepdims=True)
-    db2 = jnp.sum(b["d_z2"], axis=1, keepdims=True)
-    dbg1 = jnp.sum(b["d_zg"], axis=1, keepdims=True)
-    dw_ref[:] += jnp.concatenate(
-        [dW2, dWg1, dW1e, dw1r, dwg2.T, db2.T, dbg1.T,
-         jnp.zeros((144 - 138, 64), jnp.float32)], axis=0)
+        # wide weight grads: rows 0:64 dW2 | 64:128 dWg1 | 128:134 dW1e |
+        # 134 dw1r | 135 dwg2 | 136 db2 | 137 dbg1 (cols 0:64)
+        dW2 = jax.lax.dot_general(
+            w["a1"], b["d_z2_c"], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dWg1 = jax.lax.dot_general(
+            w["m"], b["d_zg_c"], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        eaT = jnp.concatenate([f["eaT"] for f in gs], axis=1)
+        dW1e = jax.lax.dot_general(
+            eaT, d_z1_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw1r = jax.lax.dot_general(
+            w["radial"].astype(cd), d_z1_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g1dg = w["g1"] * jnp.broadcast_to(b["d_gate"], w["g1"].shape)
+        dwg2 = jnp.sum(g1dg, axis=1, keepdims=True)
+        db2 = jnp.sum(b["d_z2"], axis=1, keepdims=True)
+        dbg1 = jnp.sum(b["d_zg"], axis=1, keepdims=True)
+        part = jnp.concatenate(
+            [dW2, dWg1, dW1e, dw1r, dwg2.T, db2.T, dbg1.T,
+             jnp.zeros((144 - 138, 64), jnp.float32)], axis=0)
+        dw_acc = part if dw_acc is None else dw_acc + part
+    dw_ref[:] += dw_acc
 
 
 # ---------------------------------------------------------------------------
@@ -557,9 +570,9 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("chunk", "W", "G", "D", "S", "n_seg_pad",
-                     "interpret"))
+                     "interpret", "splits"))
 def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
-              n_seg_pad, interpret):
+              n_seg_pad, interpret, splits=1):
     sdb, w0, dw0 = meta_arrs
     n_super = sdb.shape[0]
     cd = tabd.dtype
@@ -567,7 +580,7 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
             functools.partial(_fwd_kernel, G=G, W=W, D=D, S=S, cd=cd,
-                              chunk=chunk),
+                              chunk=chunk, splits=splits),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(n_super,),
@@ -591,9 +604,9 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
 @functools.partial(
     jax.jit,
     static_argnames=("chunk", "W", "G", "D", "S", "n_seg_pad",
-                     "interpret"))
+                     "interpret", "splits"))
 def _bwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout, chunk, W, G,
-              D, S, n_seg_pad, interpret):
+              D, S, n_seg_pad, interpret, splits=1):
     sdb, w0, dw0 = meta_arrs
     n_super = sdb.shape[0]
     cd = tabd.dtype
@@ -601,7 +614,7 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout, chunk, W, G,
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
             functools.partial(_bwd_kernel, G=G, W=W, D=D, S=S, cd=cd,
-                              chunk=chunk),
+                              chunk=chunk, splits=splits),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(n_super,),
@@ -663,6 +676,16 @@ def fused_edge_block_v5(
     # being a multiple of S*ROWS)
     n_seg_pad = _round_up(max(N, W * ROWS, S * ROWS), S * ROWS)
     interpret = jax.default_backend() != "tpu"
+    import os as _os
+
+    # sub-pipeline factor (see _fwd_kernel): number of independent
+    # gather->chain->scatter slices per superchunk, swept on chip
+    def _splits(env, default):
+        v = int(_os.environ.get(env, default))
+        return v if v >= 1 and G % v == 0 else 1
+
+    fwd_splits = _splits("FASTEGNN_V5_FSPLITS", 1)
+    bwd_splits = _splits("FASTEGNN_V5_BSPLITS", 1)
     meta_arrs = (meta.sdb, meta.w0, meta.dw0)
     idsx = meta.idsx
 
@@ -674,7 +697,8 @@ def fused_edge_block_v5(
         tabd, tabs = build_tab_v5(h, x, W1, b1, cd, n_seg_pad)
         wp, eW, vpc = pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, Fe, cd)
         out = _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx,
-                        chunk, W, G, D, S, n_seg_pad, interpret)
+                        chunk, W, G, D, S, n_seg_pad, interpret,
+                        splits=fwd_splits)
         m_sum = out[:N, 0:H]
         t_sum = (out[:N, H:H + 8] + out[:N, H + 8:H + 16])[:, 0:3]
         return (m_sum, t_sum), (h, tabd, tabs, wp, eW, vpc, W1)
@@ -694,7 +718,7 @@ def fused_edge_block_v5(
             ((0, n_seg_pad - N), (0, 0)))
         daccd, daccs, dw = _bwd_impl(
             meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout,
-            chunk, W, G, D, S, n_seg_pad, interpret)
+            chunk, W, G, D, S, n_seg_pad, interpret, splits=bwd_splits)
         # epilogue: per-node dUd/dUs -> dh, dW1, db1 (three XLA matmuls)
         dUd = daccd[:N, 0:H]
         dUs = daccs[:N, 0:H]

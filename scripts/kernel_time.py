@@ -65,6 +65,8 @@ def main():
 
     import sys
     configs = [
+        (128, 1, 32, 64, 8),
+    ] if "one" in sys.argv[1:] else [
         (128, 1, 16, 64, 8),
         (128, 1, 32, 64, 8),
         (128, 1, 32, 64, 16),

@@ -36,7 +36,8 @@ def make_bwd(meta, n_seg_pad, cd, variant):
     H = H_MAX
 
     def kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
-               tab_ref, idsx_ref, dout_ref, daccd_ref, daccs_ref, dw_ref):
+               tabd_ref, tabs_ref, idsx_ref, dout_ref, daccd_ref,
+               daccs_ref, dw_ref):
         c = pl.program_id(0)
         first = jnp.logical_or(
             c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
@@ -55,15 +56,15 @@ def make_bwd(meta, n_seg_pad, cd, variant):
         for g in range(G):
             cg = c * G + g
             blk = idsx_ref[:, g * chunk:(g + 1) * chunk]
-            f = _gather(tab_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c,
-                        cg, W, D, S, cd)
+            f = _gather(tabd_ref, tabs_ref, eW_ref, sdb_ref, w0_ref,
+                        dw0_ref, blk, c, cg, W, D, S, cd)
             gs.append(f)
             if variant == "nodst":
-                des.append(jnp.zeros((128, chunk), jnp.float32)
+                des.append(jnp.zeros((72, chunk), jnp.float32)
                            + jnp.sum(dout_ref[0:8, :]) * 0)
             else:
                 o = pl.multiple_of(dw0_ref[cg], 8)
-                dout_c = dout_ref[pl.ds(o, D), :].astype(cd)
+                dout_c = dout_ref[pl.ds(o, D), :]
                 des.append(jax.lax.dot_general(
                     dout_c, f["PdT"], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
@@ -82,9 +83,7 @@ def make_bwd(meta, n_seg_pad, cd, variant):
 
         d_z1_c = b["d_z1"].astype(cd)
         dhi, dlo = _hi_lo(b["d_diff"], cd)
-        dstuff = jnp.concatenate(
-            [d_z1_c, dhi, dlo,
-             jnp.zeros((128 - H - 16, d_z1_c.shape[1]), cd)], axis=0)
+        dstuff = jnp.concatenate([d_z1_c, dhi, dlo], axis=0)
 
         if variant != "nodst":
             for g in range(G):
@@ -127,7 +126,7 @@ def make_bwd(meta, n_seg_pad, cd, variant):
                 [dW2, dWg1, dW1e, dw1r, dwg2.T, db2.T, dbg1.T,
                  jnp.zeros((144 - 138, 64), jnp.float32)], axis=0)
 
-    def run(wp, eW, vpc, tab, idsx, dout):
+    def run(wp, eW, vpc, tabd, tabs, idsx, dout):
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -138,24 +137,26 @@ def make_bwd(meta, n_seg_pad, cd, variant):
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec((8, G * chunk),
                                  lambda c, sdb, w0, dw0: (0, c)),
-                    pl.BlockSpec((S * ROWS, 128),
+                    pl.BlockSpec((S * ROWS, 72),
                                  lambda c, sdb, w0, dw0: (sdb[c], 0)),
                 ],
                 out_specs=(
-                    pl.BlockSpec((S * ROWS, 128),
+                    pl.BlockSpec((S * ROWS, 80),
                                  lambda c, sdb, w0, dw0: (sdb[c], 0)),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
-                jax.ShapeDtypeStruct((n_seg_pad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_seg_pad, 80), jnp.float32),
+                jax.ShapeDtypeStruct((n_seg_pad, 80), jnp.float32),
                 jax.ShapeDtypeStruct((144, 64), jnp.float32),
             ),
-        )(meta.sdb, meta.w0, meta.dw0, wp, eW, vpc, tab, idsx, dout)
+        )(meta.sdb, meta.w0, meta.dw0, wp, eW, vpc, tabd, tabs, idsx,
+          dout)
 
     return jax.jit(run)
 
@@ -187,18 +188,18 @@ def main():
 
     @jax.jit
     def setup(h, x, W1, b1, W2, b2, Wg1, bg1, wg2, key):
-        tab = build_tab_v5(h, x, W1, b1, cd, n_seg_pad)
+        tabd, tabs = build_tab_v5(h, x, W1, b1, cd, n_seg_pad)
         wp, eW, vpc = pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, 2, cd)
-        dout = jax.random.normal(key, (n_seg_pad, 128), jnp.float32)
-        return tab, wp, eW, vpc, dout
+        dout = jax.random.normal(key, (n_seg_pad, 72), cd)
+        return tabd, tabs, wp, eW, vpc, dout
 
-    tab, wp, eW, vpc, dout = setup(
+    tabd, tabs, wp, eW, vpc, dout = setup(
         h, batch.coord, W1, b1, W2, b2, Wg1, bg1, wg2, jax.random.key(1))
     stage("setup done")
 
     def overhead():
         t0 = time.perf_counter()
-        float(jnp.sum(tab[:8, :8].astype(jnp.float32)))
+        float(jnp.sum(tabd[:8, :8].astype(jnp.float32)))
         return time.perf_counter() - t0
 
     ov = min(overhead() for _ in range(3))
@@ -209,12 +210,12 @@ def main():
         _fwd_impl, chunk=meta.chunk, W=meta.W, G=meta.G, D=meta.D,
         S=meta.S, n_seg_pad=n_seg_pad, interpret=False))
     marrs = (meta.sdb, meta.w0, meta.dw0)
-    r = fwdj(marrs, wp, eW, vpc, tab, meta.idsx)
+    r = fwdj(marrs, wp, eW, vpc, tabd, tabs, meta.idsx)
     float(jnp.sum(r[:8, :8]))
     n = 50
     t0 = time.perf_counter()
     for _ in range(n):
-        r = fwdj(marrs, wp, eW, vpc, tab, meta.idsx)
+        r = fwdj(marrs, wp, eW, vpc, tabd, tabs, meta.idsx)
     float(jnp.sum(r[:8, :8]))
     print(f"fwd production   {(time.perf_counter()-t0-ov)/n*1e3:9.3f} ms",
           flush=True)
@@ -222,11 +223,11 @@ def main():
     for variant in ("full", "nosrc", "nodst", "nowg", "norecomp"):
         try:
             fn = make_bwd(meta, n_seg_pad, cd, variant)
-            r = fn(wp, eW, vpc, tab, meta.idsx, dout)
+            r = fn(wp, eW, vpc, tabd, tabs, meta.idsx, dout)
             float(jnp.sum(r[0][:8, :8]))
             t0 = time.perf_counter()
             for _ in range(n):
-                r = fn(wp, eW, vpc, tab, meta.idsx, dout)
+                r = fn(wp, eW, vpc, tabd, tabs, meta.idsx, dout)
             float(jnp.sum(r[0][:8, :8]))
             dt = max(time.perf_counter() - t0 - ov, 1e-9) / n * 1e3
             print(f"bwd {variant:<10s} {dt:9.3f} ms", flush=True)
