@@ -60,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 H_MAX = 64
 ROWS = 128
-EA_ROWS = 6
+EA_ROWS = 3
 
 
 def _round_up(x: int, m: int) -> int:
@@ -105,10 +105,14 @@ def _hi_lo(v, cd):
 class EdgeKernelV5Meta:
     """Host-precomputed feature-major slot layout (see module docstring)."""
 
-    idsx: jax.Array      # [8, n_slots] i32 rows: 0 dst id relative to the
-                         #  chunk's dw0 (sentinel -1), 1 window gid =
-                         #  (sb-w0)*128 + src-local, 2:2+fe edge-attr f32
-                         #  bits, rest 0
+    idsx: jax.Array      # [4, n_slots] i32.  Row 0 packs both one-hot ids:
+                         #  id = (dl + 1) * 512 + gl where dl = dst row
+                         #  relative to the chunk's dw0 and gl = window gid
+                         #  (sb - w0) * 128 + src-local; sentinel slots are
+                         #  -1 (decoding to dl = -2, gl = 511: match nothing
+                         #  for any D <= 128, W <= 3).  Rows 1:1+fe carry
+                         #  edge-attr f32 bits, rest 0.  Half the stream
+                         #  bytes of the round-4 [8, n_slots] layout.
     w0: jax.Array        # [n_chunks] i32 window base src block
     dw0: jax.Array       # [n_chunks] i32 dst-window base row (8-aligned,
                          #  within the superchunk's S*128-row dst superblock)
@@ -127,6 +131,16 @@ class EdgeKernelV5Meta:
     n_super: int = struct.field(pytree_node=False, default=0)
     n_blocks: int = struct.field(pytree_node=False, default=0)
     eattr_fe: int = struct.field(pytree_node=False, default=2)
+
+
+def _pack_idsx(idsx8: np.ndarray) -> np.ndarray:
+    """[8, n] legacy slot rows -> [4, n]: ids packed (dl+1)*512 + gl into
+    row 0 (sentinel -1), edge-attr bit rows 2:5 moved to 1:4."""
+    dl, gl = idsx8[0], idsx8[1]
+    out = np.empty((4, idsx8.shape[1]), np.int32)
+    out[0] = np.where(dl < 0, -1, (dl + 1) * 512 + gl)
+    out[1:4] = idsx8[2:5]
+    return out
 
 
 def make_v5_meta(
@@ -178,7 +192,8 @@ def make_v5_meta(
         # rather than silently corrupt dst-window slices on hardware
         assert (np.asarray(dw0_n) % 8 == 0).all(), "v5 packer: dw0 not 8-aligned"
         return EdgeKernelV5Meta(
-            idsx=jnp.asarray(idsx_n), w0=jnp.asarray(w0_n),
+            idsx=jnp.asarray(_pack_idsx(np.asarray(idsx_n))),
+            w0=jnp.asarray(w0_n),
             dw0=jnp.asarray(dw0_n), sdb=jnp.asarray(sdb_n),
             chunk=chunk, W=W, G=G, D=D, S=S,
             n_slots=n_chunks_ * chunk, n_chunks=n_chunks_,
@@ -284,7 +299,7 @@ def make_v5_meta(
 
     assert (dw0_arr % 8 == 0).all(), "v5 packer: dw0 not 8-aligned"
     return EdgeKernelV5Meta(
-        idsx=jnp.asarray(idsx), w0=jnp.asarray(w0_arr),
+        idsx=jnp.asarray(_pack_idsx(idsx)), w0=jnp.asarray(w0_arr),
         dw0=jnp.asarray(dw0_arr), sdb=jnp.asarray(sdb),
         chunk=chunk, W=W, G=G, D=D, S=S, n_slots=n_slots, n_chunks=n_chunks,
         n_super=n_super, n_blocks=n_blocks, eattr_fe=fe)
@@ -357,12 +372,14 @@ def _gather(tabd_ref, tabs_ref, eW_ref, sdb_ref, w0_ref, dw0_ref, blk, c,
     (rows 0:64 Ud[dst]+Us[src], 64:72 hi(xd-xs), 72:80 lo) + masks.
     The dst one-hot covers only the chunk's D-row dst window."""
     chunk = blk.shape[1]
-    dl, gl = blk[0:1, :], blk[1:2, :]
+    ids = blk[0:1, :]
+    dl = jax.lax.shift_right_arithmetic(ids, 9) - 1   # sentinel -1 -> -2
+    gl = jax.lax.bitwise_and(ids, 511)                # sentinel -> 511
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (D, chunk), 0)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (W * ROWS, chunk), 0)
     PdT = (iota_d == dl).astype(cd)
     PsT = (iota_s == gl).astype(cd)
-    eaT = jax.lax.bitcast_convert_type(blk[2:8, :], jnp.float32).astype(cd)
+    eaT = jax.lax.bitcast_convert_type(blk[1:4, :], jnp.float32).astype(cd)
     td = tabd_ref[
         pl.ds(pl.multiple_of(sdb_ref[c] * (S * ROWS) + dw0_ref[cg], 8), D), :]
     tw = tabs_ref[pl.ds(w0_ref[cg] * ROWS, W * ROWS), :]
@@ -536,8 +553,8 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
             o = pl.multiple_of(w0_ref[cg] * ROWS, ROWS)
             daccs_ref[pl.ds(o, W * ROWS), :] += dsw
 
-        # wide weight grads: rows 0:64 dW2 | 64:128 dWg1 | 128:134 dW1e |
-        # 134 dw1r | 135 dwg2 | 136 db2 | 137 dbg1 (cols 0:64)
+        # wide weight grads: rows 0:64 dW2 | 64:128 dWg1 | 128:131 dW1e |
+        # 131 dw1r | 132 dwg2 | 133 db2 | 134 dbg1 (cols 0:64)
         dW2 = jax.lax.dot_general(
             w["a1"], b["d_z2_c"], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -557,7 +574,7 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
         dbg1 = jnp.sum(b["d_zg"], axis=1, keepdims=True)
         part = jnp.concatenate(
             [dW2, dWg1, dW1e, dw1r, dwg2.T, db2.T, dbg1.T,
-             jnp.zeros((144 - 138, 64), jnp.float32)], axis=0)
+             jnp.zeros((144 - 135, 64), jnp.float32)], axis=0)
         dw_acc = part if dw_acc is None else dw_acc + part
     dw_ref[:] += dw_acc
 
@@ -590,7 +607,7 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # vpc
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tabd (resident)
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tabs (resident)
-                    pl.BlockSpec((8, G * chunk),
+                    pl.BlockSpec((4, G * chunk),
                                  lambda c, sdb, w0, dw0: (0, c)),
                 ],
                 out_specs=pl.BlockSpec(
@@ -624,7 +641,7 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout, chunk, W, G,
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # vpc
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tabd (resident)
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tabs (resident)
-                    pl.BlockSpec((8, G * chunk),
+                    pl.BlockSpec((4, G * chunk),
                                  lambda c, sdb, w0, dw0: (0, c)),
                     pl.BlockSpec(
                         (S * ROWS, 72),
@@ -744,9 +761,9 @@ def fused_edge_block_v5(
         dxs = daccs[:N, H:H + 8] + daccs[:N, H + 8:H + 16]
         dx = (dxd - dxs)[:, 0:3]
         dW1 = jnp.concatenate(
-            [dW1d, dW1s, dw[134:135], dw[128:128 + Fe]], axis=0)
-        return (dh, dx, dW1, db1, dw[0:64], dw[136], dw[64:128], dw[137],
-                dw[135][:, None])
+            [dW1d, dW1s, dw[131:132], dw[128:128 + Fe]], axis=0)
+        return (dh, dx, dW1, db1, dw[0:64], dw[133], dw[64:128], dw[134],
+                dw[132][:, None])
 
     f.defvjp(fwd, bwd)
     return f(h, x, W1, b1, W2, b2, Wg1, bg1, wg2)
