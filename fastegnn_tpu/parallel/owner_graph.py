@@ -79,7 +79,7 @@ class OwnerShardedBatch:
     loc_mean: jax.Array           # [G, B, 3, C] (replicated copies)
     # per-shard v5 edge-kernel metas over the [Nl + G*S] local gather table
     # (uniform shapes across shards; None when the kernel isn't applicable)
-    ek5_idsx: Optional[jax.Array] = None   # [G, 8, n_slots]
+    ek5_idsx: Optional[jax.Array] = None   # [G, 4, n_slots] (packed ids)
     ek5_w0: Optional[jax.Array] = None     # [G, n_chunks]
     ek5_dw0: Optional[jax.Array] = None    # [G, n_chunks]
     ek5_sdb: Optional[jax.Array] = None    # [G, n_super]
@@ -214,8 +214,9 @@ def make_owner_sharded_batch(
             pad_s = max_super - m.n_super
             idsx = np.asarray(m.idsx)
             if pad_s:
-                extra = np.full((8, pad_s * ek5_super * chunk), -1, np.int32)
-                extra[2:8] = 0
+                # packed [4, n] layout: row 0 sentinel -1, ea-bit rows 0
+                extra = np.full((4, pad_s * ek5_super * chunk), -1, np.int32)
+                extra[1:4] = 0
                 idsx = np.concatenate([idsx, extra], axis=1)
             idsx_l.append(idsx)
             w0_l.append(np.pad(np.asarray(m.w0), (0, pad_s * ek5_super)))
