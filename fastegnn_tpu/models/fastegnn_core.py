@@ -224,13 +224,23 @@ def virtual_and_node_update(
     )
     vdiff = vx_n - jnp.tile(x_l, (1, C))               # [n, 3C]
     # CHANNEL-UNROLLED layout discipline: TPU tiled layouts make every
-    # [n, C, 3] / [n*C, H] <-> [n, C*H] reshape a 3 MB re-tiling copy
-    # (measured ~0.8 ms/step of reshape+copy in the r4 step trace).  All
-    # per-channel tensors here are contiguous [n, .] slices, and the
-    # virtual-message chain runs CHANNEL-MAJOR [C*n, H] — block c = rows
-    # [c*n, (c+1)*n) — so chain dots see one big array with NO relayout.
-    vd = [vdiff[:, 3 * c: 3 * c + 3] for c in range(C)]
-    vrad_c = [jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)) for v in vd]
+    # [n*C, H] <-> [n, C*H] reshape of the H-wide tensors a 3 MB re-tiling
+    # copy (measured ~0.8 ms/step of reshape+copy in the r4 step trace), so
+    # the virtual-message chain runs CHANNEL-MAJOR [C*n, H] — block c =
+    # rows [c*n, (c+1)*n).  The 3-wide COORDINATE tensors are exempt:
+    # their [n, 3C] <-> [n, C, 3] views split only the 9-lane minor dims,
+    # so they use single fused ops (the round-4 per-channel unrolling here
+    # made every gate's vjp a separate 1-D [n] reduction — ~0.17 ms/step
+    # of lane-serial multiply_reduce fusions in the r5 trace).
+    # virtual radial distances via one MXU dot: vd2 @ block-ones sums each
+    # channel's 3 squares (HIGHEST precision: coords are f32 and the TPU
+    # default would round the products to bf16)
+    sum3 = jnp.zeros((3 * C, C), jnp.float32)
+    sum3 = sum3.at[jnp.arange(3 * C), jnp.repeat(jnp.arange(C), 3)].set(1.0)
+    vrad_nc = jnp.sqrt(jax.lax.dot_general(
+        vdiff * vdiff, sum3, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST))          # [n, C]
+    vrad_c = [vrad_nc[:, c: c + 1] for c in range(C)]
 
     coord_mean = pool(x_l)                             # [B, 3] f32
     m_x = vx - coord_mean[:, None, :].astype(vx.dtype)
@@ -270,8 +280,11 @@ def virtual_and_node_update(
     ).astype(jnp.float32)                              # [C*n, 2]
     if cfg.tanh:
         gates2 = jnp.tanh(gates2)
-    gate_xv_c = [gates2[c * n: (c + 1) * n, 0:1] for c in range(C)]
-    gate_X_c = [gates2[c * n: (c + 1) * n, 1:2] for c in range(C)]
+    # channel-major [C*n, 2] -> node-major [n, C] per gate (small transpose;
+    # lets the coordinate updates below run as single [n, C, 3] fused ops)
+    gates_nm = jnp.transpose(gates2.reshape(C, n, 2), (1, 0, 2))  # [n, C, 2]
+    gate_xv = gates_nm[:, :, 0]                        # [n, C]
+    gate_X = gates_nm[:, :, 1]
     m_v_c = [m_v[c * n: (c + 1) * n] for c in range(C)]  # [n, H] contiguous
 
     # combined velocity/gravity heads over h (phi_v, phi_g)
@@ -293,17 +306,16 @@ def virtual_and_node_update(
         grav_gate = None
 
     # coordinate update on owned rows (ref :122-144, :218)
+    vdiff3 = vdiff.reshape(n, C, 3)
     x_new = x_l + agg_x_l
-    delta_v = sum(vd[c] * gate_xv_c[c] for c in range(C))
+    delta_v = jnp.sum(vdiff3 * gate_xv[:, :, None], axis=1)  # [n, 3]
     x_new = x_new - delta_v * (1.0 / C)
     x_new = x_new + vel_gate * v_l
     if cfg.has_gravity:
         x_new = x_new + grav_gate * gravity
 
-    # virtual updates (pools are per-graph means; psum-aware via `pool`);
-    # one pool per channel keeps the inputs as contiguous [n, .] blocks
-    vxg = jnp.concatenate(
-        [vd[c] * gate_X_c[c] for c in range(C)], axis=-1)  # [n, 3C]
+    # virtual updates (pools are per-graph means; psum-aware via `pool`)
+    vxg = (vdiff3 * gate_X[:, :, None]).reshape(n, 3 * C)  # [n, 3C]
     pooled_g = pool(vxg.astype(cd))                     # [B, 3C] f32
     vx_new = vx + pooled_g.reshape(B, C, 3)
     pool_mv = jnp.stack(
