@@ -48,7 +48,13 @@ class SimulationDataset(GraphDataset):
         seed: int = 0,
         max_nodes: Optional[int] = None,
         max_edges: Optional[int] = None,
+        protocol: Optional[dict] = None,
     ):
+        """``protocol``: replay a recorded sampling protocol (matched-parity
+        experiments, scripts/parity_simulation.py --matched): dict with
+        ``frames`` {trajectory key: [frame,...]}, ``rot_deg`` [deg per
+        sample in processing order] and ``order`` (permutation replacing
+        the post-processing shuffle)."""
         import h5py
 
         path = os.path.join(data_dir, dataset_name, f"{partition}.h5")
@@ -63,7 +69,10 @@ class SimulationDataset(GraphDataset):
                     frames_per_trajectory, max_samples - len(samples)
                 )
                 hi = min(frame_range, pos.shape[0] - delta_t - 2)
-                frames = rng.integers(0, hi + 1, size=n_frames)
+                if protocol is not None:
+                    frames = np.asarray(protocol["frames"][k][:n_frames])
+                else:
+                    frames = rng.integers(0, hi + 1, size=n_frames)
                 for t in frames:
                     samples.append(
                         (
@@ -78,9 +87,16 @@ class SimulationDataset(GraphDataset):
 
         graphs = []
         raw = []
-        for loc_0, vel_0, loc_t, ptype in samples:
+        for si, (loc_0, vel_0, loc_t, ptype) in enumerate(samples):
             if partition == "test":
-                R = random_rotation_y(rng).astype(np.float32)
+                if protocol is not None:
+                    from fastegnn_tpu.ops.rotation import rotation_y
+
+                    R = rotation_y(
+                        np.radians(protocol["rot_deg"][si])
+                    ).astype(np.float32)
+                else:
+                    R = random_rotation_y(rng).astype(np.float32)
                 loc_0, loc_t, vel_0 = loc_0 @ R, loc_t @ R, vel_0 @ R
             dst, src = radius_graph_np(loc_0, radius)
             dst, src = sort_cutoff_np(dst, src, loc_0, cutoff_rate)
@@ -117,7 +133,10 @@ class SimulationDataset(GraphDataset):
             virtual_channels=virtual_channels,
         )
         graphs = [pad_graph(spec, **r) for r in raw]
-        rng.shuffle(graphs)
+        if protocol is not None:
+            graphs = [graphs[i] for i in protocol["order"]]
+        else:
+            rng.shuffle(graphs)
         super().__init__(graphs, spec)
 
 

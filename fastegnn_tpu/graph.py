@@ -89,10 +89,12 @@ class GraphBatch:
     # --- feature-major fused-kernel slot layout (ops/edge_kernel_v5.py);
     # one meta when total capacity fits a single kernel call ---
     ek5: Optional["EdgeKernelV5Meta"] = None
-    # --- graph-group metas for batches too big for one call: a tuple of
-    # per-group metas; ek5_group_rows holds the STATIC (row0, rows) node
-    # ranges (groups tile the node table, edges never cross groups) ---
-    ek5_groups: Optional[tuple] = None
+    # --- graph-group meta for batches too big for one call: ONE packed
+    # EdgeKernelV5Meta whose (idsx, w0, dw0, sdb) concatenate every group
+    # (4 transferred leaves total); ek5_group_rows holds the STATIC
+    # (row0, rows, super_off, n_super, n_blocks, n_slots, n_chunks) per
+    # group (groups tile the node table, edges never cross groups) ---
+    ek5_groups: Optional["EdgeKernelV5Meta"] = None
     ek5_group_rows: Optional[tuple] = struct.field(
         pytree_node=False, default=None)
     # --- static metadata ---
@@ -355,8 +357,29 @@ def batch_graphs(
                     dst[sel] - row0, src[sel] - row0, edge_attr[sel],
                     np.ones(int(sel.sum()), bool), rows, **ek5_kw))
                 rows_list.append((row0, rows))
-            ek5_groups = tuple(groups)
-            ek5_group_rows = tuple(rows_list)
+            # PACK the per-group metas into one (idsx, w0, dw0, sdb)
+            # quadruple — 4 transferred leaves instead of 4 per group (the
+            # ~100-leaf production batch cost ~15% wall in host dispatch
+            # through the tunnel, docs/PERF.md round 4); groups address
+            # their slice via the static super_off in ek5_group_rows
+            import jax.numpy as _jnp
+
+            descs, off = [], 0
+            for m, (row0, rows) in zip(groups, rows_list):
+                descs.append((row0, rows, off, m.n_super, m.n_blocks,
+                              m.n_slots, m.n_chunks))
+                off += m.n_super
+            ek5_groups = groups[0].replace(
+                idsx=_jnp.asarray(np.concatenate(
+                    [np.asarray(m.idsx) for m in groups], axis=1)),
+                w0=_jnp.asarray(np.concatenate(
+                    [np.asarray(m.w0) for m in groups])),
+                dw0=_jnp.asarray(np.concatenate(
+                    [np.asarray(m.dw0) for m in groups])),
+                sdb=_jnp.asarray(np.concatenate(
+                    [np.asarray(m.sdb) for m in groups])),
+                n_super=0, n_blocks=0, n_slots=0, n_chunks=0)
+            ek5_group_rows = tuple(descs)
         if ek5 is None:
             # Pallas-CSR gather/scatter: the fallback for single graphs
             # beyond the v5 VMEM envelope and for layer variants the fused

@@ -200,16 +200,22 @@ class EGCLVel(fnn.Module):
                 )
             else:
                 # graph groups: one kernel call per <=12k-node run of whole
-                # graphs (edges never cross graphs); static row slices
+                # graphs (edges never cross graphs); static row slices into
+                # the node state and static super_off views into the ONE
+                # packed meta (4 device arrays shared by all groups)
+                packed = graph.ek5_groups
                 parts = [
                     fused_edge_block_v5(
                         jax.lax.slice_in_dim(h, r0, r0 + rr),
                         jax.lax.slice_in_dim(x, r0, r0 + rr),
-                        m, W1, b1, W2, b2, Wg1, bg1, wg2,
+                        packed.replace(super_off=soff, n_super=nsup,
+                                       n_blocks=nblk, n_slots=nsl,
+                                       n_chunks=nch),
+                        W1, b1, W2, b2, Wg1, bg1, wg2,
                         compute_dtype=cd,
                     )
-                    for (r0, rr), m in zip(
-                        graph.ek5_group_rows, graph.ek5_groups)
+                    for (r0, rr, soff, nsup, nblk, nsl, nch)
+                    in graph.ek5_group_rows
                 ]
                 m_sum = jnp.concatenate([p[0] for p in parts], axis=0)
                 trans_sum = jnp.concatenate([p[1] for p in parts], axis=0)

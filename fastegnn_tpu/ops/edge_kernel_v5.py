@@ -131,6 +131,11 @@ class EdgeKernelV5Meta:
     n_super: int = struct.field(pytree_node=False, default=0)
     n_blocks: int = struct.field(pytree_node=False, default=0)
     eattr_fe: int = struct.field(pytree_node=False, default=2)
+    # packed graph-group layouts: this meta's arrays may be slices of ONE
+    # concatenated (idsx, w0, dw0, sdb) quadruple shared by all groups of a
+    # batch (4 transferred leaves instead of 4 per group); super_off is the
+    # group's first superchunk within the packed arrays
+    super_off: int = struct.field(pytree_node=False, default=0)
 
 
 def _pack_idsx(idsx8: np.ndarray) -> np.ndarray:
@@ -456,10 +461,11 @@ def _chain_bwd(w, deT, wp_ref, vpc_ref, cd):
 
 def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
                 tabd_ref, tabs_ref, idsx_ref, out_ref, *, G, W, D, S, cd,
-                chunk, splits=1):
-    c = pl.program_id(0)
+                chunk, splits=1, c0=0):
+    pid = pl.program_id(0)
+    c = pid + c0
     first = jnp.logical_or(
-        c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
+        pid == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, c0)])
 
     @pl.when(first)
     def _():
@@ -493,13 +499,14 @@ def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
 def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
                 tabd_ref, tabs_ref, idsx_ref, dout_ref,
                 daccd_ref, daccs_ref, dw_ref, *, G, W, D, S, cd, chunk,
-                splits=1):
+                splits=1, c0=0):
     H = H_MAX
-    c = pl.program_id(0)
+    pid = pl.program_id(0)
+    c = pid + c0
     first = jnp.logical_or(
-        c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
+        pid == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, c0)])
 
-    @pl.when(c == 0)
+    @pl.when(pid == 0)
     def _():
         daccs_ref[:] = jnp.zeros_like(daccs_ref)
         dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -587,17 +594,18 @@ def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("chunk", "W", "G", "D", "S", "n_seg_pad",
-                     "interpret", "splits"))
+                     "interpret", "splits", "n_super", "c0"))
 def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
-              n_seg_pad, interpret, splits=1):
+              n_seg_pad, interpret, splits=1, n_super=None, c0=0):
     sdb, w0, dw0 = meta_arrs
-    n_super = sdb.shape[0]
+    if n_super is None:
+        n_super = sdb.shape[0]
     cd = tabd.dtype
     prec = "highest" if cd == jnp.float32 else "default"
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
             functools.partial(_fwd_kernel, G=G, W=W, D=D, S=S, cd=cd,
-                              chunk=chunk, splits=splits),
+                              chunk=chunk, splits=splits, c0=c0),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(n_super,),
@@ -608,10 +616,11 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tabd (resident)
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tabs (resident)
                     pl.BlockSpec((4, G * chunk),
-                                 lambda c, sdb, w0, dw0: (0, c)),
+                                 lambda c, sdb, w0, dw0: (0, c + c0)),
                 ],
                 out_specs=pl.BlockSpec(
-                    (S * ROWS, 80), lambda c, sdb, w0, dw0: (sdb[c], 0)),
+                    (S * ROWS, 80),
+                    lambda c, sdb, w0, dw0: (sdb[c + c0], 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((n_seg_pad, 80), jnp.float32),
             interpret=interpret,
@@ -621,17 +630,18 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
 @functools.partial(
     jax.jit,
     static_argnames=("chunk", "W", "G", "D", "S", "n_seg_pad",
-                     "interpret", "splits"))
+                     "interpret", "splits", "n_super", "c0"))
 def _bwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout, chunk, W, G,
-              D, S, n_seg_pad, interpret, splits=1):
+              D, S, n_seg_pad, interpret, splits=1, n_super=None, c0=0):
     sdb, w0, dw0 = meta_arrs
-    n_super = sdb.shape[0]
+    if n_super is None:
+        n_super = sdb.shape[0]
     cd = tabd.dtype
     prec = "highest" if cd == jnp.float32 else "default"
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
             functools.partial(_bwd_kernel, G=G, W=W, D=D, S=S, cd=cd,
-                              chunk=chunk, splits=splits),
+                              chunk=chunk, splits=splits, c0=c0),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(n_super,),
@@ -642,15 +652,15 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout, chunk, W, G,
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tabd (resident)
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # tabs (resident)
                     pl.BlockSpec((4, G * chunk),
-                                 lambda c, sdb, w0, dw0: (0, c)),
+                                 lambda c, sdb, w0, dw0: (0, c + c0)),
                     pl.BlockSpec(
                         (S * ROWS, 72),
-                        lambda c, sdb, w0, dw0: (sdb[c], 0)),  # dout (cd)
+                        lambda c, sdb, w0, dw0: (sdb[c + c0], 0)),  # dout
                 ],
                 out_specs=(
                     pl.BlockSpec(
                         (S * ROWS, 80),
-                        lambda c, sdb, w0, dw0: (sdb[c], 0)),  # daccd
+                        lambda c, sdb, w0, dw0: (sdb[c + c0], 0)),  # daccd
                     pl.BlockSpec(memory_space=pltpu.VMEM),     # daccs
                     pl.BlockSpec(memory_space=pltpu.VMEM),     # dw
                 ),
@@ -715,7 +725,8 @@ def fused_edge_block_v5(
         wp, eW, vpc = pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, Fe, cd)
         out = _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx,
                         chunk, W, G, D, S, n_seg_pad, interpret,
-                        splits=fwd_splits)
+                        splits=fwd_splits, n_super=meta.n_super or None,
+                        c0=meta.super_off)
         m_sum = out[:N, 0:H]
         t_sum = (out[:N, H:H + 8] + out[:N, H + 8:H + 16])[:, 0:3]
         return (m_sum, t_sum), (h, tabd, tabs, wp, eW, vpc, W1)
@@ -735,7 +746,8 @@ def fused_edge_block_v5(
             ((0, n_seg_pad - N), (0, 0)))
         daccd, daccs, dw = _bwd_impl(
             meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout,
-            chunk, W, G, D, S, n_seg_pad, interpret, splits=bwd_splits)
+            chunk, W, G, D, S, n_seg_pad, interpret, splits=bwd_splits,
+            n_super=meta.n_super or None, c0=meta.super_off)
         # epilogue: per-node dUd/dUs -> dh, dW1, db1 (three XLA matmuls)
         dUd = daccd[:N, 0:H]
         dUs = daccs[:N, 0:H]

@@ -67,6 +67,11 @@ def main():
     configs = [
         (128, 1, 32, 64, 8),
     ] if "one" in sys.argv[1:] else [
+        (128, 1, 32, 64, 8),
+        (128, 1, 32, 128, 8),
+        (128, 1, 32, 128, 16),
+        (128, 1, 16, 128, 16),
+    ] if "pick" in sys.argv[1:] else [
         (128, 1, 16, 64, 8),
         (128, 1, 32, 64, 8),
         (128, 1, 32, 64, 16),

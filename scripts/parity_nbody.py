@@ -227,7 +227,7 @@ def run_torch(epochs: int, out_json: str):
     print("TORCH BEST:", json.dumps(best))
 
 
-def run_jax(epochs: int, out_json: str, platform=None):
+def run_jax(epochs: int, out_json: str, platform=None, seed: int = 43):
     import jax
 
     if platform:
@@ -240,7 +240,7 @@ def run_jax(epochs: int, out_json: str, platform=None):
                       virtual_channels=HP["channels"],
                       n_layers=HP["layers"])
     example = dtr.collate(list(range(HP["batch_size"])))
-    params = jax.jit(model.init)(jax.random.key(43), example)["params"]
+    params = jax.jit(model.init)(jax.random.key(seed), example)["params"]
     tx = torch_adam(HP["lr"], HP["wd"])
     state = TrainState.create(params, tx)
     # log_directory: the loop rewrites [best, log] each epoch (reference
@@ -252,7 +252,7 @@ def run_jax(epochs: int, out_json: str, platform=None):
         sigma=HP["sigma"], weight=HP["weight"], sample=HP["sample"],
         use_mmd=MODEL in MMD_MODELS,
         test_interval=HP["test_interval"], early_stop=HP["early_stop"],
-        max_epochs=epochs, seed=43, shuffle=False,
+        max_epochs=epochs, seed=seed, shuffle=False,
         log_directory=os.path.dirname(out_json) or ".",
         log_name=os.path.basename(out_json).replace(".json", "_live.json"),
         verbose=True,
@@ -274,6 +274,8 @@ if __name__ == "__main__":
                    help="dataset name, e.g. 3_2_1 for a stick/hinge mix")
     p.add_argument("--model", type=str, default="FastEGNN",
                    choices=["FastEGNN", "EGNN", "VNEGNN"])
+    p.add_argument("--seed", type=int, default=43,
+                   help="jax-side init seed (torch side is fixed at 43)")
     a = p.parse_args()
     if a.data:
         DATA = a.data
@@ -287,4 +289,4 @@ if __name__ == "__main__":
     if a.side == "torch":
         run_torch(a.epochs, out)
     else:
-        run_jax(a.epochs, out, a.platform)
+        run_jax(a.epochs, out, a.platform, a.seed)

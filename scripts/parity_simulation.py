@@ -38,6 +38,7 @@ HP = dict(sigma=1.0, weight=0.01, batch_size=10, lr=5e-4, wd=1e-12,
           delta_t=20, test_interval=5, early_stop=100,
           n_particles=200, n_traj=4, n_frames=300)
 GRAVITY = (0.0, -1.0, 0.0)
+MATCHED = False
 
 
 def ensure_data():
@@ -49,6 +50,70 @@ def ensure_data():
             d, n_trajectories=HP["n_traj"], n_particles=HP["n_particles"],
             n_frames=HP["n_frames"], seed=7)
     return DATA
+
+
+PROTOCOL_PATH = "/root/repo/logs/sim_parity_protocol.json"
+
+
+def ensure_protocol():
+    """Record ONE sampling protocol both sides replay exactly (VERDICT r4
+    item 2): per-trajectory frame indices, per-sample test-rotation degrees,
+    and the post-processing shuffle permutation — the three random draws of
+    the reference dataset build (``datasets/simulation/dataset.py:32,57,73``).
+    With it, both sides train/evaluate on IDENTICAL samples in identical
+    order; the only per-side randomness left is weight init and the MMD
+    node subsampling."""
+    import h5py
+
+    if os.path.exists(PROTOCOL_PATH):
+        with open(PROTOCOL_PATH) as f:
+            return json.load(f)
+    rng = np.random.default_rng(20260820)
+    proto = {}
+    for part in ("train", "valid", "test"):
+        path = os.path.join(DATA, "Water-3D", f"{part}.h5")
+        with h5py.File(path, "r") as f:
+            keys = list(f.keys())
+        frames = {k: [int(v) for v in rng.integers(0, 251, size=15)]
+                  for k in keys}
+        n = sum(len(v) for v in frames.values())
+        proto[part] = dict(
+            keys=keys, frames=frames,
+            rot_deg=[int(v) for v in rng.integers(0, 361, size=n)],
+            order=[int(v) for v in rng.permutation(n)],
+        )
+    os.makedirs(os.path.dirname(PROTOCOL_PATH), exist_ok=True)
+    with open(PROTOCOL_PATH, "w") as f:
+        json.dump(proto, f)
+    return proto
+
+
+class _Replay:
+    """Stands in for the reference dataset module's ``random`` module and
+    ``random_rotate_y`` so its build consumes the recorded protocol."""
+
+    def __init__(self, proto, roty):
+        self.frames = [v for k in proto["keys"] for v in proto["frames"][k]]
+        self.rot = proto["rot_deg"]
+        self.order = proto["order"]
+        self.fi = 0
+        self.ri = 0
+        self._roty = roty
+
+    def randint(self, a, b):            # frame sampling (:57)
+        v = self.frames[self.fi]
+        self.fi += 1
+        return v
+
+    def shuffle(self, lst):             # post-processing shuffle (:32)
+        lst[:] = [lst[i] for i in self.order]
+
+    def rotate_y(self):                 # per-sample rotation draw (:73)
+        import torch
+
+        deg = self.rot[self.ri]
+        self.ri += 1
+        return torch.from_numpy(self._roty(np.radians(deg)))
 
 
 def run_torch(epochs: int, out_json: str):
@@ -80,10 +145,18 @@ def run_torch(epochs: int, out_json: str):
     ds_mod = load_reference_module("datasets/simulation/dataset.py")
     fe_mod = load_reference_module("models/FastEGNN.py")
 
-    mk = lambda part: ds_mod.Simulation(
-        dataset_name="Water-3D", data_dir=DATA,
-        virtual_channels=HP["channels"], partition=part,
-        delta_t=HP["delta_t"], cutoff_rate=HP["cutoff"], device="cpu")
+    proto = ensure_protocol() if MATCHED else None
+
+    def mk(part):
+        if proto is not None:
+            rp = _Replay(proto[part], sys.modules["utils.rotate"].roty)
+            ds_mod.random = rp
+            ds_mod.random_rotate_y = rp.rotate_y
+        return ds_mod.Simulation(
+            dataset_name="Water-3D", data_dir=DATA,
+            virtual_channels=HP["channels"], partition=part,
+            delta_t=HP["delta_t"], cutoff_rate=HP["cutoff"], device="cpu")
+
     dtr, dva, dte = mk("train"), mk("valid"), mk("test")
 
     def collate(items):
@@ -207,9 +280,11 @@ def run_jax(epochs: int, out_json: str, platform=None):
     from fastegnn_tpu.train import TrainState, torch_adam, train
 
     ensure_data()
+    proto = ensure_protocol() if MATCHED else None
     mk = lambda part, seed: SimulationDataset(
         DATA, "Water-3D", partition=part, virtual_channels=HP["channels"],
-        cutoff_rate=HP["cutoff"], delta_t=HP["delta_t"], seed=seed)
+        cutoff_rate=HP["cutoff"], delta_t=HP["delta_t"], seed=seed,
+        protocol=None if proto is None else proto[part])
     dtr, dva, dte = mk("train", 43), mk("valid", 44), mk("test", 45)
     model = FastEGNN(hidden=HP["hidden"], virtual_channels=HP["channels"],
                      n_layers=HP["layers"], gravity=GRAVITY)
@@ -222,6 +297,9 @@ def run_jax(epochs: int, out_json: str, platform=None):
         sigma=HP["sigma"], weight=HP["weight"], sample=HP["sample"],
         per_graph_sampling=True, test_interval=HP["test_interval"],
         early_stop=HP["early_stop"], max_epochs=epochs, seed=43,
+        # matched protocol: fixed batch composition and order both sides
+        # (the torch harness pre-collates batches once)
+        shuffle=not MATCHED,
         log_directory=None, verbose=True,
     )
     with open(out_json, "w") as f:
@@ -239,10 +317,18 @@ if __name__ == "__main__":
                         "patience can fire mid-plateau)")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--matched", action="store_true",
+                   help="replay the recorded sampling protocol on both "
+                        "sides and disable early stopping (equal-epoch, "
+                        "matched-sample comparison; VERDICT r4 item 2)")
     a = p.parse_args()
+    MATCHED = a.matched
+    if MATCHED:
+        HP["early_stop"] = 10**9
     if a.early_stop is not None:
         HP["early_stop"] = a.early_stop
-    out = a.out or f"/root/repo/logs/parity_sim_{a.side}.json"
+    sfx = "_matched" if MATCHED else ""
+    out = a.out or f"/root/repo/logs/parity_sim{sfx}_{a.side}.json"
     os.makedirs(os.path.dirname(out), exist_ok=True)
     if a.side == "torch":
         run_torch(a.epochs, out)

@@ -62,7 +62,7 @@ def main():
     # ---- (b) production batch ----
     stage("building 20 x 8000-node batch (host)")
     batch, n_real, _ = build_batch(8000, 60, n_graphs=20, channels=3)
-    n_groups = len(batch.ek5_groups or ())
+    n_groups = len(batch.ek5_group_rows or ())
     stage(f"batch: {batch.num_nodes} nodes, {batch.num_edges} edge slots, "
           f"{n_real} real edges, {n_groups} kernel groups")
 
@@ -87,6 +87,57 @@ def main():
     rate = batch.num_edges * 4 / dt
     print(f"production step: {dt * 1e3:.2f} ms for {n_real} real edges x 4 "
           f"layers -> {rate / 1e6:.0f} M edge-messages/s", flush=True)
+
+    # ---- (c) full host pipeline: fresh collation + H2D every step ----
+    # The training loop never reuses a device batch across steps (epochs
+    # re-collate); this measures wall-clock per step with the REAL
+    # GraphDataset.iter_batches path (threaded collation; batch_graphs
+    # uploads inside the worker, so H2D overlaps the device step).
+    stage("pipeline: building a 60-graph dataset (3 batches/epoch)")
+    from fastegnn_tpu.data.batcher import GraphDataset
+    from fastegnn_tpu.graph import GraphSpec, pad_graph
+    from bench import _positions
+    from fastegnn_tpu.ops.neighbors import radius_graph_np, sort_cutoff_np
+
+    rng = np.random.default_rng(7)
+    raw = []
+    for g in range(60):
+        loc, r = _positions(8000, 60, rng)
+        vel = (rng.normal(size=(8000, 3)) * 0.01).astype(np.float32)
+        dstv, srcv = radius_graph_np(loc, r)
+        dstv, srcv = sort_cutoff_np(dstv, srcv, loc, 0.0)
+        d0 = np.linalg.norm(loc[dstv] - loc[srcv], axis=1,
+                            keepdims=True).astype(np.float32)
+        raw.append(dict(
+            node_feat=np.concatenate(
+                [np.linalg.norm(vel, axis=1, keepdims=True),
+                 np.ones((8000, 1), np.float32)], axis=1),
+            coord=loc, vel=vel, dst=dstv, src=srcv,
+            edge_attr=np.concatenate([d0, d0], axis=1),
+            coord_target=loc + vel,
+            node_attr=np.ones((8000, 1), np.float32)))
+    e_max = max(x["dst"].size for x in raw)
+    spec = GraphSpec(max_nodes=8000,
+                     max_edges=int(np.ceil(e_max * 1.05 / 1024) * 1024),
+                     n_graphs=1, edge_attr_dim=2, virtual_channels=3)
+    ds = GraphDataset([pad_graph(spec, **x, spatial_sort=True) for x in raw],
+                      spec)
+    stage("dataset built; compiling pipeline step")
+    first = next(iter(ds.iter_batches(20, prefetch=0)))
+    state, m = step(state, first, key)
+    float(m["mse"])
+    stage("timing 3 epochs x 3 batches")
+    t0 = time.perf_counter()
+    steps = 0
+    for ep in range(3):
+        for b in ds.iter_batches(20, prefetch=2):
+            state, m = step(state, b, jax.random.fold_in(key, steps))
+            steps += 1
+    float(m["mse"])
+    wall = (time.perf_counter() - t0) / steps
+    print(f"pipeline wall: {wall * 1e3:.2f} ms/step over {steps} fresh "
+          f"batches (device step {dt * 1e3:.2f} ms -> "
+          f"wall/device = {wall / dt:.3f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -175,13 +175,22 @@ def test_graph_groups_match_single_meta():
     finally:
         gmod.EK5_MAX_NODES = old
     assert b.ek5 is None and b.ek5_groups is not None
-    assert len(b.ek5_groups) == 3 and b.ek5_group_rows == (
-        (0, 128), (128, 128), (256, 128))
+    assert len(b.ek5_group_rows) == 3
+    assert [(d[0], d[1]) for d in b.ek5_group_rows] == [
+        (0, 128), (128, 128), (256, 128)]
+    # packed layout invariants: group super_offs are cumulative n_supers
+    assert b.ek5_group_rows[0][2] == 0
+    assert b.ek5_group_rows[1][2] == b.ek5_group_rows[0][3]
+    assert b.ek5_groups.sdb.shape[0] == sum(d[3] for d in b.ek5_group_rows)
     w = _setup()[5]
     h = jnp.asarray(rng.normal(size=(b.num_nodes, H)), jnp.float32)
     parts = [
-        fused_edge_block_v5(h[r0:r0 + rr], b.coord[r0:r0 + rr], m, *w)
-        for (r0, rr), m in zip(b.ek5_group_rows, b.ek5_groups)
+        fused_edge_block_v5(
+            h[r0:r0 + rr], b.coord[r0:r0 + rr],
+            b.ek5_groups.replace(super_off=soff, n_super=nsup,
+                                 n_blocks=nblk, n_slots=nsl, n_chunks=nch),
+            *w)
+        for (r0, rr, soff, nsup, nblk, nsl, nch) in b.ek5_group_rows
     ]
     ms = jnp.concatenate([p[0] for p in parts])
     ts = jnp.concatenate([p[1] for p in parts])
