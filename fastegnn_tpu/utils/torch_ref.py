@@ -316,6 +316,11 @@ def _build_shims():
         def to(self, device):
             return self
 
+        def __getitem__(self, key):
+            # PyG Data supports dict access (reference
+            # datasets/protein/dataset.py:64 reads data[0]['node_attr'])
+            return self.__dict__[key]
+
         def __repr__(self):
             ks = ", ".join(sorted(self.__dict__))
             return f"ShimData({ks})"

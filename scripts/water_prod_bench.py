@@ -26,6 +26,10 @@ from bench import build_batch
 
 
 def main():
+    import sys
+    do_check = "nocheck" not in sys.argv[1:]
+    do_pipe = "nopipe" not in sys.argv[1:]
+    only_pipe = "pipeonly" in sys.argv[1:]
     t00 = time.time()
     stage = lambda s: print(f"[{time.time() - t00:7.1f}s] {s}", flush=True)
     from fastegnn_tpu.models import FastEGNN
@@ -35,58 +39,64 @@ def main():
     # ---- (a) on-chip numeric check of the group path (2 x 2000 nodes) ----
     import fastegnn_tpu.graph as gmod
 
-    old = gmod.EK5_MAX_NODES
-    gmod.EK5_MAX_NODES = 2048       # force grouping at this small size
-    try:
-        small, _, _ = build_batch(2000, 40, n_graphs=2, channels=3)
-    finally:
-        gmod.EK5_MAX_NODES = old
-    assert small.ek5 is None and small.ek5_groups is not None, \
-        "expected grouped metas"
-    model = FastEGNN(hidden=64, virtual_channels=3, n_layers=2,
-                     gravity=(0.0, -1.0, 0.0), compute_dtype="bfloat16")
-    params = jax.jit(model.init)(jax.random.key(0), small)["params"]
-    fwd_fused = jax.jit(
-        lambda p, g: model.apply({"params": p}, g)[0])
-    model_nf = FastEGNN(hidden=64, virtual_channels=3, n_layers=2,
-                        gravity=(0.0, -1.0, 0.0), compute_dtype="bfloat16",
-                        fuse_edge=False)
-    fwd_plain = jax.jit(
-        lambda p, g: model_nf.apply({"params": p}, g)[0])
-    a = np.asarray(fwd_fused(params, small))
-    b = np.asarray(fwd_plain(params, small))
-    err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
-    stage(f"group-fused vs unfused fwd rel err on chip: {err:.2e}")
-    assert err < 5e-3, "group path mismatch on hardware"
+    if do_check and not only_pipe:
+        old = gmod.EK5_MAX_NODES
+        gmod.EK5_MAX_NODES = 2048   # force grouping at this small size
+        try:
+            small, _, _ = build_batch(2000, 40, n_graphs=2, channels=3)
+        finally:
+            gmod.EK5_MAX_NODES = old
+        assert small.ek5 is None and small.ek5_groups is not None, \
+            "expected grouped metas"
+        model = FastEGNN(hidden=64, virtual_channels=3, n_layers=2,
+                         gravity=(0.0, -1.0, 0.0), compute_dtype="bfloat16")
+        params = jax.jit(model.init)(jax.random.key(0), small)["params"]
+        fwd_fused = jax.jit(
+            lambda p, g: model.apply({"params": p}, g)[0])
+        model_nf = FastEGNN(hidden=64, virtual_channels=3, n_layers=2,
+                            gravity=(0.0, -1.0, 0.0),
+                            compute_dtype="bfloat16", fuse_edge=False)
+        fwd_plain = jax.jit(
+            lambda p, g: model_nf.apply({"params": p}, g)[0])
+        a = np.asarray(fwd_fused(params, small))
+        b = np.asarray(fwd_plain(params, small))
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
+        stage(f"group-fused vs unfused fwd rel err on chip: {err:.2e}")
+        assert err < 5e-3, "group path mismatch on hardware"
 
     # ---- (b) production batch ----
-    stage("building 20 x 8000-node batch (host)")
-    batch, n_real, _ = build_batch(8000, 60, n_graphs=20, channels=3)
-    n_groups = len(batch.ek5_group_rows or ())
-    stage(f"batch: {batch.num_nodes} nodes, {batch.num_edges} edge slots, "
-          f"{n_real} real edges, {n_groups} kernel groups")
-
     model = FastEGNN(hidden=64, virtual_channels=3, n_layers=4,
                      gravity=(0.0, -1.0, 0.0), compute_dtype="bfloat16")
-    params = jax.jit(model.init)(jax.random.key(0), batch)["params"]
     tx = torch_adam(5e-4, 1e-12)
-    state = TrainState.create(params, tx)
     step = make_train_step(model, tx, sigma=1.0, weight=0.01, sample=3,
                            per_graph_sampling=True)
     key = jax.random.key(1)
-    state, m = step(state, batch, key)
-    float(m["mse"])
-    stage("compiled")
+    dt = float("nan")
+    state = None
+    if not only_pipe:
+        stage("building 20 x 8000-node batch (host)")
+        batch, n_real, _ = build_batch(8000, 60, n_graphs=20, channels=3)
+        n_groups = len(batch.ek5_group_rows or ())
+        stage(f"batch: {batch.num_nodes} nodes, {batch.num_edges} edge "
+              f"slots, {n_real} real edges, {n_groups} kernel groups")
+        params = jax.jit(model.init)(jax.random.key(0), batch)["params"]
+        state = TrainState.create(params, tx)
+        state, m = step(state, batch, key)
+        float(m["mse"])
+        stage("compiled")
 
-    t0 = time.perf_counter()
-    n = 20
-    for i in range(n):
-        state, m = step(state, batch, jax.random.fold_in(key, i))
-    float(m["mse"])
-    dt = (time.perf_counter() - t0) / n
-    rate = batch.num_edges * 4 / dt
-    print(f"production step: {dt * 1e3:.2f} ms for {n_real} real edges x 4 "
-          f"layers -> {rate / 1e6:.0f} M edge-messages/s", flush=True)
+        t0 = time.perf_counter()
+        n = 20
+        for i in range(n):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+        float(m["mse"])
+        dt = (time.perf_counter() - t0) / n
+        rate = batch.num_edges * 4 / dt
+        print(f"production step: {dt * 1e3:.2f} ms for {n_real} real edges "
+              f"x 4 layers -> {rate / 1e6:.0f} M edge-messages/s",
+              flush=True)
+    if not do_pipe:
+        return
 
     # ---- (c) full host pipeline: fresh collation + H2D every step ----
     # The training loop never reuses a device batch across steps (epochs
@@ -124,6 +134,9 @@ def main():
                       spec)
     stage("dataset built; compiling pipeline step")
     first = next(iter(ds.iter_batches(20, prefetch=0)))
+    if state is None:
+        params = jax.jit(model.init)(jax.random.key(0), first)["params"]
+        state = TrainState.create(params, tx)
     state, m = step(state, first, key)
     float(m["mse"])
     stage("timing 3 epochs x 3 batches")
