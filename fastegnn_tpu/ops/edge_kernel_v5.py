@@ -461,11 +461,10 @@ def _chain_bwd(w, deT, wp_ref, vpc_ref, cd):
 
 def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
                 tabd_ref, tabs_ref, idsx_ref, out_ref, *, G, W, D, S, cd,
-                chunk, splits=1, c0=0):
-    pid = pl.program_id(0)
-    c = pid + c0
+                chunk, splits=1):
+    c = pl.program_id(0)
     first = jnp.logical_or(
-        pid == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, c0)])
+        c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
 
     @pl.when(first)
     def _():
@@ -499,14 +498,13 @@ def _fwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
 def _bwd_kernel(sdb_ref, w0_ref, dw0_ref, wp_ref, eW_ref, vpc_ref,
                 tabd_ref, tabs_ref, idsx_ref, dout_ref,
                 daccd_ref, daccs_ref, dw_ref, *, G, W, D, S, cd, chunk,
-                splits=1, c0=0):
+                splits=1):
     H = H_MAX
-    pid = pl.program_id(0)
-    c = pid + c0
+    c = pl.program_id(0)
     first = jnp.logical_or(
-        pid == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, c0)])
+        c == 0, sdb_ref[c] != sdb_ref[jnp.maximum(c - 1, 0)])
 
-    @pl.when(pid == 0)
+    @pl.when(c == 0)
     def _():
         daccs_ref[:] = jnp.zeros_like(daccs_ref)
         dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -605,7 +603,7 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
             functools.partial(_fwd_kernel, G=G, W=W, D=D, S=S, cd=cd,
-                              chunk=chunk, splits=splits, c0=c0),
+                              chunk=chunk, splits=splits),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(n_super,),
@@ -620,7 +618,7 @@ def _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, chunk, W, G, D, S,
                 ],
                 out_specs=pl.BlockSpec(
                     (S * ROWS, 80),
-                    lambda c, sdb, w0, dw0: (sdb[c + c0], 0)),
+                    lambda c, sdb, w0, dw0: (sdb[c], 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((n_seg_pad, 80), jnp.float32),
             interpret=interpret,
@@ -641,7 +639,7 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout, chunk, W, G,
     with jax.default_matmul_precision(prec):
         return pl.pallas_call(
             functools.partial(_bwd_kernel, G=G, W=W, D=D, S=S, cd=cd,
-                              chunk=chunk, splits=splits, c0=c0),
+                              chunk=chunk, splits=splits),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(n_super,),
@@ -655,12 +653,12 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout, chunk, W, G,
                                  lambda c, sdb, w0, dw0: (0, c + c0)),
                     pl.BlockSpec(
                         (S * ROWS, 72),
-                        lambda c, sdb, w0, dw0: (sdb[c + c0], 0)),  # dout
+                        lambda c, sdb, w0, dw0: (sdb[c], 0)),  # dout (cd)
                 ],
                 out_specs=(
                     pl.BlockSpec(
                         (S * ROWS, 80),
-                        lambda c, sdb, w0, dw0: (sdb[c + c0], 0)),  # daccd
+                        lambda c, sdb, w0, dw0: (sdb[c], 0)),  # daccd
                     pl.BlockSpec(memory_space=pltpu.VMEM),     # daccs
                     pl.BlockSpec(memory_space=pltpu.VMEM),     # dw
                 ),
@@ -670,6 +668,11 @@ def _bwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout, chunk, W, G,
                 jax.ShapeDtypeStruct((n_seg_pad, 80), jnp.float32),
                 jax.ShapeDtypeStruct((144, 64), jnp.float32),
             ),
+            # the resident role tables + src-grad accumulator lane-pad to
+            # 128 and sit ~15 MB; the conservative 16 MB scoped default
+            # rejects the graph-group variant (v5e VMEM is 128 MB)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(sdb, w0, dw0, wp, eW, vpc, tabd, tabs, idsx, dout)
 
@@ -703,6 +706,19 @@ def fused_edge_block_v5(
     # being a multiple of S*ROWS)
     n_seg_pad = _round_up(max(N, W * ROWS, S * ROWS), S * ROWS)
     interpret = jax.default_backend() != "tpu"
+    # packed graph-group layout: the scalar-prefetch arrays are SLICED per
+    # group (tiny XLA slices; keeping the full packed arrays in the kernel
+    # overflows scoped VMEM) while the big idsx stays whole — its stream
+    # index map shifts by super_off superchunks
+    c0 = meta.super_off
+    n_sup = meta.n_super or meta.sdb.shape[0]
+    if c0 or n_sup != meta.sdb.shape[0]:
+        G_ = meta.G
+        sdb_g = jax.lax.slice_in_dim(meta.sdb, c0, c0 + n_sup)
+        w0_g = jax.lax.slice_in_dim(meta.w0, c0 * G_, (c0 + n_sup) * G_)
+        dw0_g = jax.lax.slice_in_dim(meta.dw0, c0 * G_, (c0 + n_sup) * G_)
+    else:
+        sdb_g, w0_g, dw0_g = meta.sdb, meta.w0, meta.dw0
     import os as _os
 
     # sub-pipeline factor (see _fwd_kernel): number of independent
@@ -713,7 +729,7 @@ def fused_edge_block_v5(
 
     fwd_splits = _splits("FASTEGNN_V5_FSPLITS", 1)
     bwd_splits = _splits("FASTEGNN_V5_BSPLITS", 1)
-    meta_arrs = (meta.sdb, meta.w0, meta.dw0)
+    meta_arrs = (sdb_g, w0_g, dw0_g)
     idsx = meta.idsx
 
     @jax.custom_vjp
@@ -725,8 +741,7 @@ def fused_edge_block_v5(
         wp, eW, vpc = pack_w_v5(W1, b1, W2, b2, Wg1, bg1, wg2, Fe, cd)
         out = _fwd_impl(meta_arrs, wp, eW, vpc, tabd, tabs, idsx,
                         chunk, W, G, D, S, n_seg_pad, interpret,
-                        splits=fwd_splits, n_super=meta.n_super or None,
-                        c0=meta.super_off)
+                        splits=fwd_splits, n_super=n_sup, c0=c0)
         m_sum = out[:N, 0:H]
         t_sum = (out[:N, H:H + 8] + out[:N, H + 8:H + 16])[:, 0:3]
         return (m_sum, t_sum), (h, tabd, tabs, wp, eW, vpc, W1)
@@ -747,7 +762,7 @@ def fused_edge_block_v5(
         daccd, daccs, dw = _bwd_impl(
             meta_arrs, wp, eW, vpc, tabd, tabs, idsx, dout,
             chunk, W, G, D, S, n_seg_pad, interpret, splits=bwd_splits,
-            n_super=meta.n_super or None, c0=meta.super_off)
+            n_super=n_sup, c0=c0)
         # epilogue: per-node dUd/dUs -> dh, dW1, db1 (three XLA matmuls)
         dUd = daccd[:N, 0:H]
         dUs = daccs[:N, 0:H]

@@ -82,7 +82,7 @@ def load_datasets():
     return mk("train"), mk("valid"), mk("test")
 
 
-def run_torch(epochs: int, out_json: str):
+def run_torch(epochs: int, out_json: str, seed: int = 43):
     import jax
 
     # keep this process off the (single-tenant) TPU tunnel: the dataset
@@ -92,8 +92,8 @@ def run_torch(epochs: int, out_json: str):
 
     from fastegnn_tpu.utils.torch_ref import load_reference_module
 
-    torch.manual_seed(43)
-    np.random.seed(43)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
     if MODEL == "FastEGNN":
         mod = load_reference_module("models/FastEGNN.py")
         model = mod.FastEGNN(
@@ -287,6 +287,6 @@ if __name__ == "__main__":
 
     os.makedirs(os.path.dirname(out), exist_ok=True)
     if a.side == "torch":
-        run_torch(a.epochs, out)
+        run_torch(a.epochs, out, a.seed)
     else:
         run_jax(a.epochs, out, a.platform, a.seed)

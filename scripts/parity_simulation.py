@@ -116,7 +116,7 @@ class _Replay:
         return torch.from_numpy(self._roty(np.radians(deg)))
 
 
-def run_torch(epochs: int, out_json: str):
+def run_torch(epochs: int, out_json: str, seed: int = 43):
     import jax
 
     jax.config.update("jax_platform_name", "cpu")
@@ -128,9 +128,9 @@ def run_torch(epochs: int, out_json: str):
         install_pyg_shims, load_reference_module)
 
     ensure_data()
-    random.seed(43)
-    torch.manual_seed(43)
-    np.random.seed(43)
+    random.seed(seed)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
     install_pyg_shims()
     # the reference dataset file does `from utils.rotate import ...` — load
     # the reference's own util module under that name first
@@ -270,7 +270,7 @@ def run_torch(epochs: int, out_json: str):
     print("TORCH BEST:", json.dumps(best))
 
 
-def run_jax(epochs: int, out_json: str, platform=None):
+def run_jax(epochs: int, out_json: str, platform=None, seed: int = 43):
     import jax
 
     if platform:
@@ -289,14 +289,14 @@ def run_jax(epochs: int, out_json: str, platform=None):
     model = FastEGNN(hidden=HP["hidden"], virtual_channels=HP["channels"],
                      n_layers=HP["layers"], gravity=GRAVITY)
     example = dtr.collate(list(range(HP["batch_size"])))
-    params = jax.jit(model.init)(jax.random.key(43), example)["params"]
+    params = jax.jit(model.init)(jax.random.key(seed), example)["params"]
     tx = torch_adam(HP["lr"], HP["wd"])
     state = TrainState.create(params, tx)
     best, log, state = train(
         model, state, tx, dtr, dva, dte, batch_size=HP["batch_size"],
         sigma=HP["sigma"], weight=HP["weight"], sample=HP["sample"],
         per_graph_sampling=True, test_interval=HP["test_interval"],
-        early_stop=HP["early_stop"], max_epochs=epochs, seed=43,
+        early_stop=HP["early_stop"], max_epochs=epochs, seed=seed,
         # matched protocol: fixed batch composition and order both sides
         # (the torch harness pre-collates batches once)
         shuffle=not MATCHED,
@@ -317,6 +317,7 @@ if __name__ == "__main__":
                         "patience can fire mid-plateau)")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--seed", type=int, default=43)
     p.add_argument("--matched", action="store_true",
                    help="replay the recorded sampling protocol on both "
                         "sides and disable early stopping (equal-epoch, "
@@ -331,6 +332,6 @@ if __name__ == "__main__":
     out = a.out or f"/root/repo/logs/parity_sim{sfx}_{a.side}.json"
     os.makedirs(os.path.dirname(out), exist_ok=True)
     if a.side == "torch":
-        run_torch(a.epochs, out)
+        run_torch(a.epochs, out, a.seed)
     else:
-        run_jax(a.epochs, out, a.platform)
+        run_jax(a.epochs, out, a.platform, a.seed)
