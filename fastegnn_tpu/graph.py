@@ -253,6 +253,11 @@ def batch_graphs(
     ek5_super: int = 32,
     ek5_dwin: int = 64,
     ek5_sblocks: int = 8,
+    # graph-group batches: Pallas-CSR metas cost ~6-8 s of host time per
+    # production batch (searchsorted + argsort over 12.6M edges) and only
+    # serve model variants the fused kernel cannot cover
+    # (attention/normalize/tanh, hidden != 64) — enable when training one
+    csr_for_groups: bool = False,
 ) -> GraphBatch:
     """Concatenate padded single graphs into one packed ``GraphBatch``.
 
@@ -348,15 +353,31 @@ def batch_graphs(
             # node rows; one fused kernel call per group (edges are always
             # intra-graph, so groups partition the edge set exactly)
             gper = max(EK5_MAX_NODES // spec.max_nodes, 1)
-            groups, rows_list = [], []
+            # edges are dst-sorted with padded edges (dst = capacity)
+            # last, so each group's edge run is ONE contiguous slice —
+            # searchsorted instead of 20 boolean passes over 12.6M edges
+            # (~12 s/production-batch in the round-5 host profile)
+            rows_list = []
+            bounds = []
             for g0 in range(0, b, gper):
                 row0 = g0 * spec.max_nodes
                 rows = min(gper, b - g0) * spec.max_nodes
-                sel = edge_mask & (dst >= row0) & (dst < row0 + rows)
-                groups.append(make_v5_meta(
-                    dst[sel] - row0, src[sel] - row0, edge_attr[sel],
-                    np.ones(int(sel.sum()), bool), rows, **ek5_kw))
+                lo = int(np.searchsorted(dst, row0))
+                hi = int(np.searchsorted(dst, row0 + rows))
+                bounds.append((row0, rows, lo, hi))
                 rows_list.append((row0, rows))
+
+            def _mk(args):
+                row0, rows, lo, hi = args
+                return make_v5_meta(
+                    dst[lo:hi] - row0, src[lo:hi] - row0,
+                    edge_attr[lo:hi], np.ones(hi - lo, bool), rows,
+                    as_numpy=True, **ek5_kw)
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                groups = list(pool.map(_mk, bounds))
             # PACK the per-group metas into one (idsx, w0, dw0, sdb)
             # quadruple — 4 transferred leaves instead of 4 per group (the
             # ~100-leaf production batch cost ~15% wall in host dispatch
@@ -380,13 +401,13 @@ def batch_graphs(
                     [np.asarray(m.sdb) for m in groups])),
                 n_super=0, n_blocks=0, n_slots=0, n_chunks=0)
             ek5_group_rows = tuple(descs)
-        if ek5 is None:
+        if ek5 is None and (ek5_groups is None or csr_for_groups):
             # Pallas-CSR gather/scatter: the fallback for single graphs
             # beyond the v5 VMEM envelope and for layer variants the fused
             # kernel doesn't cover (attention/normalize/tanh, hidden != 64).
-            # Built ALSO for graph-group batches: group-mode is production
-            # scale, and a non-fusable model variant must not silently fall
-            # to the plain take+segment path there.
+            # For graph-group batches it is opt-in (``csr_for_groups``):
+            # at production scale the CSR build costs ~6-8 s of host time
+            # per batch and the fused path never reads it.
             csr_dst = make_csr_meta(dst, total_nodes, rows=csr_rows,
                                     chunk=edge_align)
             perm = np.argsort(

@@ -159,9 +159,12 @@ def make_v5_meta(
     G: int = 8,
     D: int = 128,
     S: int = 1,
+    as_numpy: bool = False,
 ) -> EdgeKernelV5Meta:
     """Pack edges into contiguous-window chunks grouped into same-dst-
-    superblock superchunks.
+    superblock superchunks.  ``as_numpy`` keeps the meta arrays as host
+    numpy (graph-group packing concatenates many metas before ONE device
+    transfer; per-group jnp round-trips cost seconds per production batch).
 
     Edges are sorted by (dst_superblock, src_block, dst); per dst superblock
     (``S`` 128-row blocks), chunks accept tiles while their src block stays
@@ -196,10 +199,11 @@ def make_v5_meta(
         # (pl.multiple_of below); a packer regression must fail loudly here
         # rather than silently corrupt dst-window slices on hardware
         assert (np.asarray(dw0_n) % 8 == 0).all(), "v5 packer: dw0 not 8-aligned"
+        conv = (lambda x: x) if as_numpy else jnp.asarray
         return EdgeKernelV5Meta(
-            idsx=jnp.asarray(_pack_idsx(np.asarray(idsx_n))),
-            w0=jnp.asarray(w0_n),
-            dw0=jnp.asarray(dw0_n), sdb=jnp.asarray(sdb_n),
+            idsx=conv(_pack_idsx(np.asarray(idsx_n))),
+            w0=conv(w0_n),
+            dw0=conv(dw0_n), sdb=conv(sdb_n),
             chunk=chunk, W=W, G=G, D=D, S=S,
             n_slots=n_chunks_ * chunk, n_chunks=n_chunks_,
             n_super=n_chunks_ // G, n_blocks=n_blocks_, eattr_fe=fe)
@@ -303,9 +307,10 @@ def make_v5_meta(
         idsx[2:2 + fe, slot] = ea_bits[eidx[epos]].T
 
     assert (dw0_arr % 8 == 0).all(), "v5 packer: dw0 not 8-aligned"
+    conv = (lambda x: x) if as_numpy else jnp.asarray
     return EdgeKernelV5Meta(
-        idsx=jnp.asarray(_pack_idsx(idsx)), w0=jnp.asarray(w0_arr),
-        dw0=jnp.asarray(dw0_arr), sdb=jnp.asarray(sdb),
+        idsx=conv(_pack_idsx(idsx)), w0=conv(w0_arr),
+        dw0=conv(dw0_arr), sdb=conv(sdb),
         chunk=chunk, W=W, G=G, D=D, S=S, n_slots=n_slots, n_chunks=n_chunks,
         n_super=n_super, n_blocks=n_blocks, eattr_fe=fe)
 

@@ -63,6 +63,9 @@ def make_dp_train_step(
     loss_fn = make_loss_fn(model, sigma, weight, sample, per_graph_sampling, use_mmd)
 
     def local_step(state: TrainState, batch_stacked, key):
+        from fastegnn_tpu.train.step import ensure_key
+
+        key = ensure_key(key)
         graph = _unstack_local(batch_stacked)
         # decorrelate MMD sampling across shards
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
@@ -105,6 +108,9 @@ def make_dp_eval_step(
     loss_fn = make_loss_fn(model, sigma, weight, sample, per_graph_sampling, use_mmd)
 
     def local_eval(params, batch_stacked, key):
+        from fastegnn_tpu.train.step import ensure_key
+
+        key = ensure_key(key)
         graph = _unstack_local(batch_stacked)
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         total, (mse, mmd) = loss_fn(params, graph, key)

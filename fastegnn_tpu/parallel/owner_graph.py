@@ -482,6 +482,9 @@ def make_owner_gp_train_step(
     )
 
     def local_step(state: TrainState, sb_stacked, key):
+        from fastegnn_tpu.train.step import ensure_key
+
+        key = ensure_key(key)
         strip = 2 if data_axis is not None else 1
         sb = jax.tree.map(lambda a: a[(0,) * strip], sb_stacked)
         all_axes = (data_axis, axis) if data_axis is not None else (axis,)
@@ -547,6 +550,9 @@ def make_owner_gp_eval_step(
     )
 
     def local_eval(params, sb_stacked, key):
+        from fastegnn_tpu.train.step import ensure_key
+
+        key = ensure_key(key)
         strip = 2 if data_axis is not None else 1
         sb = jax.tree.map(lambda a: a[(0,) * strip], sb_stacked)
         all_axes = (data_axis, axis) if data_axis is not None else (axis,)

@@ -19,6 +19,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fastegnn_tpu.data.batcher import GraphDataset
@@ -26,8 +27,19 @@ from fastegnn_tpu.train.checkpoint import save_checkpoint
 from fastegnn_tpu.train.step import TrainState, make_eval_step, make_train_step
 
 
-def _run_epoch_train(train_step, state, dataset, batch_size, key, epoch, rng,
-                     batch_iter_fn=None):
+def _step_key(seed: int, tag: int, epoch: int, i: int) -> np.ndarray:
+    """Raw uint32[2] PRNG key-data derived ON HOST (SeedSequence mixing).
+
+    Passed as numpy so it rides the step call's operand upload and is
+    wrapped to a typed key inside the jit (``train.step.ensure_key``) —
+    a separate per-step device op (fold_in, or even indexing a stacked
+    key array) costs ~3 ms of tunnel dispatch (round-5 measurement)."""
+    return np.random.SeedSequence((seed, tag, epoch, i)).generate_state(
+        2, np.uint32)
+
+
+def _run_epoch_train(train_step, state, dataset, batch_size, seed, epoch,
+                     rng, batch_iter_fn=None):
     losses = []
     batches = (
         batch_iter_fn(dataset, batch_size, rng=rng)
@@ -35,13 +47,12 @@ def _run_epoch_train(train_step, state, dataset, batch_size, key, epoch, rng,
         else dataset.iter_batches(batch_size, rng=rng)
     )
     for i, batch in enumerate(batches):
-        k = jax.random.fold_in(key, epoch * 1_000_003 + i)
-        state, metrics = train_step(state, batch, k)
+        state, metrics = train_step(state, batch, _step_key(seed, 0, epoch, i))
         losses.append(metrics["mse"])
     return state, float(np.mean([float(x) for x in losses]))
 
 
-def _run_epoch_eval(eval_step, params, dataset, batch_size, key, epoch,
+def _run_epoch_eval(eval_step, params, dataset, batch_size, seed, epoch,
                     batch_iter_fn=None):
     losses = []
     batches = (
@@ -50,8 +61,7 @@ def _run_epoch_eval(eval_step, params, dataset, batch_size, key, epoch,
         else dataset.iter_batches(batch_size, rng=None)
     )
     for i, batch in enumerate(batches):
-        k = jax.random.fold_in(key, epoch * 999_983 + i)
-        metrics = eval_step(params, batch, k)
+        metrics = eval_step(params, batch, _step_key(seed, 1, epoch, i))
         losses.append(metrics["mse"])
     return float(np.mean([float(x) for x in losses]))
 
@@ -113,7 +123,6 @@ def train(
         eval_model or model, sigma, weight, sample, per_graph_sampling,
         use_mmd, apply_fn=apply_fn,
     )
-    key = jax.random.key(seed)
     # shuffle=False: fixed batch composition AND order every epoch — the
     # reference N-body/protein loaders never shuffle (main_nbody.py:94).
     # Collated batches are then memoized, which also sidesteps a ~260 MB/
@@ -154,15 +163,15 @@ def train(
 
             with profile_trace(profile_trace_dir):
                 state, loss_train = _run_epoch_train(
-                    train_step, state, dataset_train, batch_size, key, epoch,
-                    shuffle_rng, batch_iter_fn,
+                    train_step, state, dataset_train, batch_size, seed,
+                    epoch, shuffle_rng, batch_iter_fn,
                 )
             if verbose:
                 print(f"profiler trace written to {profile_trace_dir}",
                       flush=True)
         else:
             state, loss_train = _run_epoch_train(
-                train_step, state, dataset_train, batch_size, key, epoch,
+                train_step, state, dataset_train, batch_size, seed, epoch,
                 shuffle_rng, batch_iter_fn,
             )
         log_dict["loss_train"].append(loss_train)
@@ -171,12 +180,12 @@ def train(
 
         if epoch % test_interval == 0:
             loss_valid = _run_epoch_eval(
-                eval_step, state.params, dataset_valid, batch_size, key,
+                eval_step, state.params, dataset_valid, batch_size, seed,
                 epoch, eval_batch_iter_fn,
             )
             loss_test = _run_epoch_eval(
-                eval_step, state.params, dataset_test, batch_size, key,
-                epoch, eval_batch_iter_fn,
+                eval_step, state.params, dataset_test, batch_size, seed,
+                epoch + 10_000_000, eval_batch_iter_fn,
             )
             log_dict["epochs"].append(epoch)
             log_dict["loss"].append(loss_test)

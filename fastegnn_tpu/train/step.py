@@ -51,6 +51,21 @@ class TrainState(struct.PyTreeNode):
         return self.replace(flat_params=flat.astype(self.flat_params.dtype))
 
 
+def ensure_key(key):
+    """Accept a typed PRNG key OR raw uint32 key-data.
+
+    The training loop passes per-step keys as HOST numpy uint32[2] so they
+    ride the step call's operand upload; a separate device op per step
+    (fold_in or even indexing a stacked key array) costs ~3 ms of tunnel
+    dispatch — ~25%% of a production Water-3D step (round-5 measurement)."""
+    import numpy as _np
+
+    if isinstance(key, _np.ndarray) or not jnp.issubdtype(
+            key.dtype, jax.dtypes.prng_key):
+        return jax.random.wrap_key_data(jnp.asarray(key))
+    return key
+
+
 def _forward(model, params, graph: GraphBatch):
     return model.apply({"params": params}, graph)
 
@@ -77,6 +92,7 @@ def make_loss_fn(
     """
 
     def loss_fn(params, batch, key):
+        key = ensure_key(key)
         graph = batch[0] if isinstance(batch, tuple) else batch
         if apply_fn is not None:
             out = apply_fn(params, batch)

