@@ -364,15 +364,27 @@ def batch_graphs(
                 rows = min(gper, b - g0) * spec.max_nodes
                 lo = int(np.searchsorted(dst, row0))
                 hi = int(np.searchsorted(dst, row0 + rows))
-                bounds.append((row0, rows, lo, hi))
+                bounds.append((g0, row0, rows, lo, hi))
                 rows_list.append((row0, rows))
 
+            # when each group is ONE graph (production Water-3D: 8k nodes
+            # per graph), its meta is independent of batch composition —
+            # cache it on the graph dict so reshuffled epochs re-pack
+            # nothing (packing dominates steady-state collation otherwise)
+            ck = ("_ek5cache", ek5_chunk, ek5_window, ek5_super, ek5_dwin,
+                  ek5_sblocks)
+
             def _mk(args):
-                row0, rows, lo, hi = args
-                return make_v5_meta(
+                g0, row0, rows, lo, hi = args
+                if gper == 1 and ck in graphs[g0]:
+                    return graphs[g0][ck]
+                m = make_v5_meta(
                     dst[lo:hi] - row0, src[lo:hi] - row0,
                     edge_attr[lo:hi], np.ones(hi - lo, bool), rows,
                     as_numpy=True, **ek5_kw)
+                if gper == 1:
+                    graphs[g0][ck] = m
+                return m
 
             from concurrent.futures import ThreadPoolExecutor
 

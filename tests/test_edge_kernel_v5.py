@@ -212,3 +212,45 @@ def test_n_seg_pad_nonmultiple_window():
                                  jnp.asarray(ea), *w)
     np.testing.assert_allclose(ms, ms_r, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(ts, ts_r, rtol=2e-5, atol=2e-5)
+
+
+def test_group_meta_cache_consistency():
+    # per-graph meta caching (gper == 1): a second collation of the same
+    # graphs in a DIFFERENT batch order must produce metas identical to a
+    # fresh uncached build at each position
+    import fastegnn_tpu.graph as gmod
+    from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
+
+    rng = np.random.default_rng(5)
+    spec = GraphSpec(max_nodes=64, max_edges=256, n_graphs=3,
+                     edge_attr_dim=2)
+    graphs = []
+    for _ in range(3):
+        n, e = 64, 256
+        graphs.append(pad_graph(
+            spec,
+            node_feat=rng.normal(size=(n, 2)).astype(np.float32),
+            coord=rng.normal(size=(n, 3)).astype(np.float32),
+            vel=rng.normal(size=(n, 3)).astype(np.float32),
+            dst=rng.integers(0, n, e), src=rng.integers(0, n, e),
+            edge_attr=rng.normal(size=(e, 2)).astype(np.float32),
+            coord_target=rng.normal(size=(n, 3)).astype(np.float32),
+        ))
+    old = gmod.EK5_MAX_NODES
+    gmod.EK5_MAX_NODES = 64    # gper == 1 -> per-graph groups, cache on
+    try:
+        b1 = batch_graphs(graphs, spec, ek5_sblocks=1)
+        # second call in permuted order hits the cache
+        perm = [2, 0, 1]
+        b2 = batch_graphs([graphs[i] for i in perm], spec, ek5_sblocks=1)
+        fresh = [dict(g) for g in graphs]   # copies without the cache key
+        for g in fresh:
+            g.pop(next(k for k in g if isinstance(k, tuple)), None)
+        b3 = batch_graphs([fresh[i] for i in perm], spec, ek5_sblocks=1)
+    finally:
+        gmod.EK5_MAX_NODES = old
+    np.testing.assert_array_equal(np.asarray(b2.ek5_groups.idsx),
+                                  np.asarray(b3.ek5_groups.idsx))
+    np.testing.assert_array_equal(np.asarray(b2.ek5_groups.w0),
+                                  np.asarray(b3.ek5_groups.w0))
+    assert b2.ek5_group_rows == b3.ek5_group_rows
