@@ -200,10 +200,12 @@ def test_fused_graph_groups_match_monolithic_model():
 
 
 def test_group_mode_batches_carry_csr_metas():
-    """Group-mode (production-scale) batches must ALSO carry the Pallas-CSR
-    metas so non-fusable model variants (attention/tanh/normalize, hidden
-    != 64, f32-on-TPU) keep the CSR gather/scatter path instead of silently
-    falling to plain take+segment (round-4 advisor finding)."""
+    """Group-mode (production-scale) batches can carry the Pallas-CSR metas
+    for non-fusable model variants (attention/tanh/normalize, hidden != 64,
+    f32-on-TPU) via ``csr_for_groups=True`` — OPT-IN since round 5: the CSR
+    build costs ~6-8 s of host time per production batch and the fused path
+    never reads it (the round-4 advisor finding is served by the flag, the
+    common path by the default)."""
     import fastegnn_tpu.graph as gmod
     from helpers import random_raw_graph
     from fastegnn_tpu.graph import GraphSpec, batch_graphs, pad_graph
@@ -217,9 +219,11 @@ def test_group_mode_batches_carry_csr_metas():
     old = gmod.EK5_MAX_NODES
     gmod.EK5_MAX_NODES = 80
     try:
-        grouped = batch_graphs(padded, spec)
+        default = batch_graphs(padded, spec)
+        grouped = batch_graphs(padded, spec, csr_for_groups=True)
     finally:
         gmod.EK5_MAX_NODES = old
+    assert default.ek5_groups is not None and default.csr_dst is None
     assert grouped.ek5_groups is not None
     assert grouped.csr_dst is not None and grouped.csr_src is not None
 
